@@ -1,0 +1,52 @@
+"""Normalization layers, (B, T, C) layout.
+
+The reference normalizes over the *channel* axis of (B, C, T) tensors with a
+hand-rolled LayerNorm using biased variance (libs/modeling/blocks.py:70-112).
+In our (B, T, C) layout that is a plain last-axis LayerNorm; we keep the
+biased-variance semantics for checkpoint/numerics parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def channel_layer_norm(x: jnp.ndarray, weight=None, bias=None, eps: float = 1e-5):
+    """Normalize over the last (channel) axis with biased variance."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    res = x - mu
+    sigma = jnp.mean(res * res, axis=-1, keepdims=True)
+    out = res * jax.lax.rsqrt(sigma + eps)
+    if weight is not None:
+        out = out * weight
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class ChannelLayerNorm(nn.Module):
+    """Affine LayerNorm over channels (reference blocks.py:70-112)."""
+
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), x.dtype)
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), x.dtype)
+        else:
+            weight = bias = None
+        return channel_layer_norm(x, weight, bias, self.eps)
+
+
+def instance_norm_time(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch ``InstanceNorm1d`` default (no affine): normalize each (batch,
+    channel) series over the time axis with biased variance. Used by the
+    DeepInterpolator / SegmentandCls conv stacks (blocks.py:1508,1532)."""
+    mu = jnp.mean(x, axis=-2, keepdims=True)
+    res = x - mu
+    sigma = jnp.mean(res * res, axis=-2, keepdims=True)
+    return res * jax.lax.rsqrt(sigma + eps)
