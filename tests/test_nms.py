@@ -1,0 +1,79 @@
+"""Device soft-NMS vs the native C++ oracle, and segment voting."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from audio_visual_deepfake_detection_tpu.ops import nms as dev_nms
+from audio_visual_deepfake_detection_tpu.runtime import host_softnms, host_nms
+
+
+def _random_candidates(rng, n=60, t=100.0):
+    start = rng.uniform(0, t, n).astype(np.float32)
+    length = rng.uniform(0.5, 20, n).astype(np.float32)
+    segs = np.stack([start, start + length], axis=1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    return segs, scores
+
+
+@pytest.mark.parametrize("method,min_score", [("gaussian", 0.2), ("gaussian", 0.001), ("linear", 0.1)])
+def test_device_softnms_matches_host(rng, method, min_score):
+    segs, scores = _random_candidates(rng)
+    sigma, iou_t, max_out = 0.75, 0.1, 20
+    m_id = {"hard": 0, "linear": 1, "gaussian": 2}[method]
+    h_segs, h_scores, _ = host_softnms(segs, scores, iou_t, sigma, min_score, m_id, max_out)
+
+    d_segs, d_scores, d_valid = dev_nms.soft_nms(
+        jnp.asarray(segs), jnp.asarray(scores), jnp.ones(len(segs), bool),
+        max_out, iou_t, sigma, min_score, method)
+    k = int(np.sum(np.asarray(d_valid)))
+    assert k == len(h_scores)
+    np.testing.assert_allclose(np.asarray(d_segs)[:k], h_segs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_scores)[:k], h_scores, atol=1e-5)
+
+
+def test_device_hard_nms_matches_host(rng):
+    segs, scores = _random_candidates(rng, n=40)
+    inds = host_nms(segs, scores, 0.3, 15)
+    d_segs, d_scores, d_valid = dev_nms.soft_nms(
+        jnp.asarray(segs), jnp.asarray(scores), jnp.ones(len(segs), bool),
+        15, 0.3, 0.5, 0.0, "hard")
+    k = int(np.sum(np.asarray(d_valid)))
+    assert k == len(inds)
+    np.testing.assert_allclose(np.asarray(d_segs)[:k], segs[inds], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_scores)[:k], scores[inds], atol=1e-6)
+
+
+def test_seg_voting_matches_reference_semantics(rng):
+    import torch
+
+    segs, scores = _random_candidates(rng, n=30)
+    nms_segs = segs[:5]
+    thresh = 0.5
+
+    refined = np.asarray(dev_nms.seg_voting(
+        jnp.asarray(nms_segs), jnp.ones(5, bool), jnp.asarray(segs),
+        jnp.asarray(scores), thresh))
+
+    # independent torch oracle following libs/utils/nms.py:67-101
+    ns, als, asc = map(torch.from_numpy, (nms_segs, segs, scores))
+    left = torch.maximum(ns[:, None, 0], als[None, :, 0])
+    right = torch.minimum(ns[:, None, 1], als[None, :, 1])
+    inter = (right - left).clamp(min=0)
+    iou = inter / ((ns[:, 1] - ns[:, 0])[:, None] + (als[:, 1] - als[:, 0])[None, :] - inter)
+    w = (iou >= thresh).float() * asc[None, :] * iou
+    w = w / w.sum(dim=1, keepdim=True)
+    ref = (w @ als).numpy()
+    np.testing.assert_allclose(refined, ref, atol=1e-5)
+
+
+def test_batched_nms_sorted_and_capped(rng):
+    segs, scores = _random_candidates(rng, n=200)
+    out_segs, out_scores, out_cls, out_valid = dev_nms.batched_nms(
+        jnp.asarray(segs), jnp.asarray(scores),
+        jnp.zeros(len(segs), jnp.int32), jnp.ones(len(segs), bool),
+        num_classes=1, iou_threshold=0.1, min_score=0.001, max_seg_num=100,
+        use_soft_nms=True, multiclass=False, sigma=0.75, voting_thresh=0.9)
+    sc = np.asarray(out_scores)[np.asarray(out_valid)]
+    assert len(sc) <= 100
+    assert np.all(np.diff(sc) <= 1e-6)
