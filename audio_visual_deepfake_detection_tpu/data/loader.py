@@ -1,0 +1,87 @@
+"""Threaded prefetching data loader.
+
+The reference uses torch DataLoader worker *processes* with a no-op collator
+(libs/datasets/datasets.py:28-43, data_utils.py:9-22). Feature loading here is
+numpy IO + numpy resample, which releases the GIL, so a thread pool with a
+bounded prefetch queue feeds the TPU without pickling overhead. Shuffling and
+truncation randomness are driven by a seeded ``numpy.random.Generator`` per
+epoch (determinism contract of fix_random_seed, train_utils.py:22-40).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Callable,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            yield order[i:i + self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        rng_root = np.random.default_rng((self.seed + self._epoch) * 7919 + 13)
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in self._batches():
+                    seeds = rng_root.integers(0, 2**63, size=len(batch_idx))
+                    futures = [
+                        pool.submit(self.dataset.__getitem__, int(i),
+                                    np.random.default_rng(int(s)))
+                        for i, s in zip(batch_idx, seeds)
+                    ]
+                    samples = [f.result() for f in futures]
+                    out_q.put(self.collate(samples))
+            out_q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

@@ -31,14 +31,6 @@ class ClsHead(nn.Module):
 
     @nn.compact
     def __call__(self, fpn_feats, fpn_masks):
-        def cls_bias_init(key, shape, dtype=jnp.float32):
-            bias = jnp.zeros(shape, dtype)
-            if self.prior_prob > 0:
-                bias = jnp.full(shape, -math.log((1 - self.prior_prob) / self.prior_prob), dtype)
-            for idx in self.empty_cls:
-                bias = bias.at[idx].set(-math.log((1 - 1e-6) / 1e-6))
-            return bias
-
         convs = [MaskedConv1D(self.feat_dim, self.kernel_size,
                               use_bias=not self.with_ln, name=f"head_{i}")
                  for i in range(self.num_layers - 1)]
@@ -56,11 +48,8 @@ class ClsHead(nn.Module):
                 h = jax.nn.relu(h)
             logits, _ = cls_conv(h, mask)
             out_logits.append(logits)  # (B, T_i, num_classes)
-
-        # override the final conv bias init with the focal prior: flax params
-        # are created by the conv above; we re-declare the bias initializer by
-        # name is not possible post-hoc, so ClsHead exposes it via `sow`-free
-        # param surgery in init (see init_cls_prior below).
+        # NOTE: the focal-prior bias (av_fd_no_recon.py:63-73) is applied by
+        # init_cls_prior() below after module init.
         return out_logits
 
 

@@ -1,0 +1,9 @@
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_batch_to,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)

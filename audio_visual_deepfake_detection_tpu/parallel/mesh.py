@@ -1,0 +1,72 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(train.py:101) — replica scatter/gather on every forward. TPU-native
+replacement: one SPMD program over a ``jax.sharding.Mesh``; the batch is
+sharded over the ``data`` axis, parameters are replicated, and gradient
+all-reduce is an XLA collective riding ICI. Multi-host extends the same mesh
+over DCN with per-host data loading — no NCCL/MPI analogue to port.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(dp_size: int = -1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if dp_size is None or dp_size <= 0:
+        dp_size = len(devices)
+    devices = np.asarray(devices[:dp_size])
+    return Mesh(devices, axis_names=(DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place numpy batch arrays on the mesh, leading axis over data."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for key, value in batch.items():
+        if key == "video_ids":
+            out[key] = value
+            continue
+        out[key] = jax.device_put(value, sharding)
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to(batch: dict, target: int) -> dict:
+    """Pad the leading axis to ``target`` (keeps jit shapes static for the
+    last partial batch); padded rows get mask=False and has_gt=False so they
+    contribute nothing to losses or results."""
+    b = batch["feats"].shape[0]
+    if b == target:
+        return batch
+    pad = target - b
+    out = {}
+    for key, value in batch.items():
+        if key == "video_ids":
+            out[key] = value
+            continue
+        out[key] = np.concatenate(
+            [value, np.zeros((pad,) + value.shape[1:], value.dtype)], axis=0)
+    out["_real_rows"] = b
+    return out

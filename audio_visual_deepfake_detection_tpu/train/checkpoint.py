@@ -1,0 +1,93 @@
+"""Checkpoint / resume via orbax.
+
+Mirrors the reference contract (train_utils.py:43-56, train.py:115-133,
+inference.py:74-76): each checkpoint holds {params, ema_params, opt_state,
+step, loss_normalizer, epoch}; inference loads the EMA weights; resume
+restores everything. Layout: <folder>/epoch_<N> orbax directories plus a
+'best' copy.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(folder: str, epoch: int, state, is_best: bool = False,
+                    tag: Optional[str] = None):
+    os.makedirs(folder, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "step": state.step,
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+        "loss_normalizer": state.loss_normalizer,
+        "rng": state.rng,
+    }
+    name = tag or f"epoch_{epoch:03d}"
+    path = os.path.abspath(os.path.join(folder, name))
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    if is_best:
+        ckptr.save(os.path.abspath(os.path.join(folder, "model_best")), payload, force=True)
+
+
+def restore_checkpoint(path: str, state):
+    """Restore into an existing TrainState template (shapes must match)."""
+    template = {
+        "epoch": 0,
+        "step": state.step,
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+        "loss_normalizer": state.loss_normalizer,
+        "rng": state.rng,
+    }
+    restored = _checkpointer().restore(os.path.abspath(path), item=template)
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        ema_params=restored["ema_params"],
+        opt_state=restored["opt_state"],
+        loss_normalizer=restored["loss_normalizer"],
+        rng=restored["rng"],
+    )
+    return new_state, int(restored["epoch"])
+
+
+def restore_params(path: str, params_template, use_ema: bool = True):
+    """Load only (EMA) params for inference (inference.py:74-76)."""
+    restored = _checkpointer().restore(os.path.abspath(path))
+    key = "ema_params" if use_ema and "ema_params" in restored else "params"
+    loaded = restored[key]
+    # coerce to the template's structure
+    flat_t = jax.tree_util.tree_leaves(params_template)
+    flat_l = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_t) == len(flat_l), "checkpoint/model structure mismatch"
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_template),
+        [np.asarray(l) for l in flat_l])
+
+
+def latest_epoch_path(folder: str) -> Optional[str]:
+    """Auto-pick the newest epoch checkpoint in a folder (inference.py:39-41)."""
+    if not os.path.isdir(folder):
+        return None
+    best = None
+    best_epoch = -1
+    for name in os.listdir(folder):
+        m = re.fullmatch(r"epoch_(\d+)", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(folder, name)
+    return best

@@ -1,0 +1,81 @@
+"""Epoch loops (reference: train_utils.py:273-601).
+
+``train_one_epoch`` drives the jit-compiled train step over the loader with
+loss meters, periodic console/tb logging, and mid-epoch checkpoints (the
+reference hard-codes every 1000 iters to an absolute path,
+train_utils.py:381-396 — here it's configurable and lands in the run folder).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import pad_batch_to, shard_batch
+from .checkpoint import save_checkpoint
+from .meters import AverageMeter, MetricsLogger
+
+
+def train_one_epoch(
+    loader,
+    state,
+    train_step: Callable,
+    curr_epoch: int,
+    mesh=None,
+    schedule=None,
+    logger: Optional[MetricsLogger] = None,
+    print_freq: int = 20,
+    ckpt_every_iters: int = 0,
+    ckpt_folder: Optional[str] = None,
+    batch_size: Optional[int] = None,
+):
+    loader.set_epoch(curr_epoch)
+    num_iters = len(loader)
+    batch_time = AverageMeter()
+    trackers: Dict[str, AverageMeter] = {}
+    print(f"\n[Train]: Epoch {curr_epoch:d} started")
+    start = time.time()
+
+    for iter_idx, batch in enumerate(loader):
+        if batch_size is not None:
+            batch = pad_batch_to(batch, batch_size)
+        batch.pop("_real_rows", None)
+        video_ids = batch.pop("video_ids", None)
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, losses = train_step(state, batch)
+
+        if iter_idx != 0 and iter_idx % print_freq == 0:
+            jax.block_until_ready(losses["final_loss"])
+            batch_time.update((time.time() - start) / print_freq)
+            start = time.time()
+            scalars = {}
+            for key, value in losses.items():
+                trackers.setdefault(key, AverageMeter()).update(float(value))
+                scalars[f"train/{key}"] = float(value)
+            if schedule is not None:
+                scalars["train/learning_rate"] = float(schedule(int(state.step)))
+            if logger is not None:
+                logger.log(int(state.step), scalars)
+            fl = trackers["final_loss"]
+            parts = [
+                f"Epoch: [{curr_epoch:03d}][{iter_idx:05d}/{num_iters:05d}]",
+                f"Time {batch_time.val:.2f} ({batch_time.avg:.2f})",
+                f"Loss {fl.val:.2f} ({fl.avg:.2f})",
+            ]
+            parts += [f"{k} {m.val:.2f} ({m.avg:.2f})"
+                      for k, m in trackers.items() if k != "final_loss"]
+            print("\t".join(parts))
+
+        if ckpt_every_iters > 0 and iter_idx > 0 and iter_idx % ckpt_every_iters == 0 \
+                and ckpt_folder:
+            save_checkpoint(ckpt_folder, curr_epoch + 1, state,
+                            tag=f"epoch_{curr_epoch + 1:03d}_iter{iter_idx}")
+
+    if schedule is not None:
+        print(f"[Train]: Epoch {curr_epoch:d} finished with "
+              f"lr={float(schedule(int(state.step))):.8f}\n")
+    return state

@@ -1,0 +1,79 @@
+"""Optimizer + LR schedule (reference: libs/utils/train_utils.py:65-213).
+
+- AdamW (or SGD+momentum) with the minGPT-style decay split: weight decay
+  applies only to conv/linear kernels; biases, norm affines, layer-scales,
+  rel-PE and time-weighting tensors are excluded (train_utils.py:71-122).
+  In our flax tree this is simply "path leaf named 'kernel'" — LN affines are
+  named 'weight', everything else that decays is a kernel.
+- Linear warmup (from 0) to base LR, then cosine annealing to eta_min,
+  stepped per *iteration* (lr_schedulers.py:10-125); total steps include the
+  warmup epochs (train_utils.py:157-173).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+
+def decay_mask(params) -> Dict:
+    flat = traverse_util.flatten_dict(params)
+    mask = {path: path[-1] == "kernel" for path in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_schedule(opt_cfg: Dict, num_iters_per_epoch: int) -> optax.Schedule:
+    base_lr = opt_cfg["learning_rate"]
+    if opt_cfg.get("warmup", True):
+        warmup_steps = opt_cfg["warmup_epochs"] * num_iters_per_epoch
+        max_steps = (opt_cfg["epochs"] + opt_cfg["warmup_epochs"]) * num_iters_per_epoch
+        if opt_cfg.get("schedule_type", "cosine") == "cosine":
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=base_lr,
+                warmup_steps=warmup_steps,
+                decay_steps=max_steps,
+                end_value=opt_cfg.get("eta_min", 1e-8),
+            )
+        # multistep with warmup (LinearWarmupMultiStepLR)
+        steps = [num_iters_per_epoch * s for s in opt_cfg["schedule_steps"]]
+        gamma = opt_cfg.get("schedule_gamma", 0.1)
+
+        def sched(count):
+            warm = jnp.minimum(count / jnp.maximum(warmup_steps, 1), 1.0)
+            decay = gamma ** sum(jnp.asarray(count >= s, jnp.float32) for s in steps)
+            return base_lr * warm * decay
+
+        return sched
+    max_steps = opt_cfg["epochs"] * num_iters_per_epoch
+    if opt_cfg.get("schedule_type", "cosine") == "cosine":
+        return optax.cosine_decay_schedule(base_lr, max_steps)
+    steps = [num_iters_per_epoch * s for s in opt_cfg["schedule_steps"]]
+    return optax.piecewise_constant_schedule(
+        base_lr, {s: opt_cfg.get("schedule_gamma", 0.1) for s in steps})
+
+
+def make_optimizer(params, opt_cfg: Dict, num_iters_per_epoch: int,
+                   clip_grad_l2norm: float = -1.0):
+    """Returns an optax.GradientTransformation and the schedule."""
+    schedule = make_schedule(opt_cfg, num_iters_per_epoch)
+    wd = opt_cfg.get("weight_decay", 0.0)
+    if opt_cfg.get("type", "AdamW") == "SGD":
+        tx = optax.chain(
+            optax.add_decayed_weights(wd, mask=decay_mask(params)) if wd > 0
+            else optax.identity(),
+            optax.sgd(schedule, momentum=opt_cfg.get("momentum", 0.9)),
+        )
+    else:
+        tx = optax.adamw(
+            schedule,
+            b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=wd,
+            mask=decay_mask(params),
+        )
+    if clip_grad_l2norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_l2norm), tx)
+    return tx, schedule
