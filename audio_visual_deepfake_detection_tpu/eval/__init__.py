@@ -1,0 +1,11 @@
+from .challenge import build_proposal_json, run_evaluation  # noqa: F401
+from .detection import (  # noqa: F401
+    ANETdetection,
+    CHALLENGE_TIOUS,
+    average_precision,
+    average_recall_vs_nr_proposals,
+    interpolated_prec_rec,
+    postprocess_results_with_cls,
+    remove_duplicate_annotations,
+    segment_iou,
+)

@@ -1,0 +1,242 @@
+"""Temporal detection metrics: interpolated AP / mAP and AR@N.
+
+Vectorized numpy re-implementation of the two evaluators the reference
+carries:
+- the challenge evaluator (libs/utils/Evaluation/eval_detection.py) with tIoU
+  thresholds pinned to {0.5, 0.75, 0.9, 0.95} (:37,81),
+- the EPIC-style ANETdetection (libs/utils/metrics.py:113-447) with
+  configurable thresholds and top-k recall.
+
+Both share the VOC-2011 interpolated AP over greedy score-ordered matching.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+CHALLENGE_TIOUS = np.array([0.5, 0.75, 0.9, 0.95])
+
+
+def segment_iou(target: np.ndarray, candidates: np.ndarray) -> np.ndarray:
+    """IoU of one (2,) segment against (N, 2) candidates."""
+    tt1 = np.maximum(target[0], candidates[:, 0])
+    tt2 = np.minimum(target[1], candidates[:, 1])
+    inter = np.clip(tt2 - tt1, 0, None)
+    union = (candidates[:, 1] - candidates[:, 0]) + (target[1] - target[0]) - inter
+    return inter.astype(np.float64) / union
+
+
+def interpolated_prec_rec(prec: np.ndarray, rec: np.ndarray) -> float:
+    """VOC-2011 interpolated AP."""
+    mprec = np.concatenate([[0], prec, [0]])
+    mrec = np.concatenate([[0], rec, [1]])
+    for i in range(len(mprec) - 2, -1, -1):
+        mprec[i] = max(mprec[i], mprec[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[idx] - mrec[idx - 1]) * mprec[idx]))
+
+
+def average_precision(
+    gt: Dict[str, np.ndarray],
+    pred: Dict[str, np.ndarray],
+    tiou_thresholds: np.ndarray,
+) -> np.ndarray:
+    """AP per tIoU threshold for one class.
+
+    gt: {'video-id': array str, 't-start', 't-end'}
+    pred: same plus 'score'. Matching: predictions in descending score order,
+    each grabs the highest-IoU unclaimed GT above the threshold.
+    """
+    ap = np.zeros(len(tiou_thresholds))
+    npred = len(pred["score"])
+    npos = len(gt["t-start"])
+    if npred == 0 or npos == 0:
+        return ap
+
+    order = np.argsort(pred["score"])[::-1]
+    p_vid = np.asarray(pred["video-id"])[order]
+    p_seg = np.stack([np.asarray(pred["t-start"])[order],
+                      np.asarray(pred["t-end"])[order]], axis=1)
+
+    gt_by_vid: Dict[str, List[int]] = {}
+    g_seg = np.stack([np.asarray(gt["t-start"]), np.asarray(gt["t-end"])], axis=1)
+    for i, v in enumerate(np.asarray(gt["video-id"])):
+        gt_by_vid.setdefault(v, []).append(i)
+
+    tp = np.zeros((len(tiou_thresholds), npred))
+    fp = np.zeros((len(tiou_thresholds), npred))
+    lock = -np.ones((len(tiou_thresholds), npos))
+
+    for idx in range(npred):
+        gt_idx = gt_by_vid.get(p_vid[idx])
+        if not gt_idx:
+            fp[:, idx] = 1
+            continue
+        gt_idx = np.asarray(gt_idx)
+        tious = segment_iou(p_seg[idx], g_seg[gt_idx])
+        srt = np.argsort(tious)[::-1]
+        for tidx, thr in enumerate(tiou_thresholds):
+            matched = False
+            for j in srt:
+                if tious[j] < thr:
+                    break
+                if lock[tidx, gt_idx[j]] >= 0:
+                    continue
+                tp[tidx, idx] = 1
+                lock[tidx, gt_idx[j]] = idx
+                matched = True
+                break
+            if not matched:
+                fp[tidx, idx] = 1
+
+    tp_cs = np.cumsum(tp, axis=1)
+    fp_cs = np.cumsum(fp, axis=1)
+    rec = tp_cs / npos
+    prec = tp_cs / (tp_cs + fp_cs)
+    for tidx in range(len(tiou_thresholds)):
+        ap[tidx] = interpolated_prec_rec(prec[tidx], rec[tidx])
+    return ap
+
+
+class ANETdetection:
+    """mAP evaluator over in-memory GT/prediction tables.
+
+    GT entries follow the reference's in-memory format
+    (Evaluation/eval_detection.py:87-115): a list of dicts with ``video_id``,
+    ``n_fakes`` and ``segments_time`` (seconds); videos with n_fakes == 0 are
+    skipped.
+    """
+
+    def __init__(self, gt_records: Sequence[dict],
+                 tiou_thresholds: np.ndarray = CHALLENGE_TIOUS,
+                 num_classes: int = 1):
+        self.tiou_thresholds = np.asarray(tiou_thresholds, dtype=np.float64)
+        self.num_classes = num_classes
+        vids, ts, te, lab = [], [], [], []
+        for rec in gt_records:
+            if rec.get("n_fakes", 0) == 0 or rec.get("segments_time") is None:
+                continue
+            for seg in np.asarray(rec["segments_time"]).reshape(-1, 2):
+                vids.append(rec["video_id"].strip())
+                ts.append(float(seg[0]))
+                te.append(float(seg[1]))
+                lab.append(0)
+        self.gt = {
+            "video-id": np.asarray(vids),
+            "t-start": np.asarray(ts, np.float64),
+            "t-end": np.asarray(te, np.float64),
+            "label": np.asarray(lab, np.int64),
+        }
+
+    def evaluate(self, preds: Dict[str, np.ndarray], verbose: bool = False):
+        """preds: {'video-id','t-start','t-end','label','score'} arrays.
+        Returns (ap (T, C), mAP per tIoU, average mAP)."""
+        labels = np.asarray(preds.get("label", np.zeros(len(preds["score"]))))
+        ap = np.zeros((len(self.tiou_thresholds), self.num_classes))
+        for c in range(self.num_classes):
+            sel = labels == c
+            gt_sel = self.gt["label"] == c
+            ap[:, c] = average_precision(
+                {k: np.asarray(self.gt[k])[gt_sel] for k in
+                 ("video-id", "t-start", "t-end")},
+                {k: np.asarray(preds[k])[sel] for k in
+                 ("video-id", "t-start", "t-end", "score")},
+                self.tiou_thresholds,
+            )
+        mAP = ap.mean(axis=1)
+        avg = float(mAP.mean())
+        if verbose:
+            per = " ".join(f"mAP@{t:.2f} {m * 100:.3f}"
+                           for t, m in zip(self.tiou_thresholds, mAP))
+            print(f"Detection: average-mAP {avg * 100:.3f} {per}")
+        return ap, mAP, avg
+
+
+def average_recall_vs_nr_proposals(
+    gt: Dict[str, np.ndarray],
+    proposals: Dict[str, np.ndarray],
+    tiou_thresholds: np.ndarray = np.linspace(0.5, 0.95, 10),
+    max_avg_nr_proposals: int = 100,
+):
+    """AR@AN (reference: Evaluation/eval_proposal.py): recall matrix
+    (tiou, proposal budget) where the budget is an *average* number of
+    proposals per video, allocated by score rank."""
+    vids = set(np.asarray(gt["video-id"]).tolist())
+    total_gt = len(gt["t-start"])
+    nvids = max(len(vids), 1)
+
+    budgets = np.arange(1, max_avg_nr_proposals + 1)
+    matched = np.zeros((len(tiou_thresholds), len(budgets)))
+
+    by_vid_gt: Dict[str, list] = {}
+    for i, v in enumerate(np.asarray(gt["video-id"])):
+        by_vid_gt.setdefault(v, []).append(
+            [gt["t-start"][i], gt["t-end"][i]])
+    by_vid_prop: Dict[str, list] = {}
+    order = np.argsort(np.asarray(proposals["score"]))[::-1]
+    for i in order:
+        v = np.asarray(proposals["video-id"])[i]
+        by_vid_prop.setdefault(v, []).append(
+            [proposals["t-start"][i], proposals["t-end"][i]])
+
+    for v, gts in by_vid_gt.items():
+        props = np.asarray(by_vid_prop.get(v, np.zeros((0, 2))), np.float64).reshape(-1, 2)
+        gts = np.asarray(gts, np.float64)
+        if len(props) == 0:
+            continue
+        # iou matrix gt x prop (props already score-ordered)
+        ious = np.stack([segment_iou(g, props) for g in gts])
+        for bi, k in enumerate(budgets):
+            sub = ious[:, :k]
+            for tidx, thr in enumerate(tiou_thresholds):
+                matched[tidx, bi] += float(np.sum(sub.max(axis=1) >= thr)) \
+                    if sub.size else 0.0
+
+    recall = matched / max(total_gt, 1)
+    avg_recall = recall.mean(axis=0)
+    return recall, avg_recall, budgets
+
+
+def remove_duplicate_annotations(ants: Sequence[dict], tol: float = 1e-3) -> List[dict]:
+    """Drop zero-length and duplicate events (metrics.py:13-31)."""
+    valid: List[dict] = []
+    for ev in ants:
+        s, e = ev["segment"][0], ev["segment"][1]
+        lab = ev["label_id"]
+        ok = (e - s) >= tol
+        for p in valid:
+            if (abs(s - p["segment"][0]) <= tol and abs(e - p["segment"][1]) <= tol
+                    and lab == p["label_id"]):
+                ok = False
+                break
+        if ok:
+            valid.append(ev)
+    return valid
+
+
+def postprocess_results_with_cls(
+    results: Dict[str, dict], cls_scores: Dict[str, Sequence[float]],
+    num_pred: int = 200, topk: int = 2,
+) -> Dict[str, np.ndarray]:
+    """External classification fusion (libs/utils/postprocessing.py:97-155):
+    duplicate each segment across the top-k external classes with score
+    sqrt(cls_score * seg_score)."""
+    out = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
+    for vid, result in results.items():
+        cls = np.asarray(cls_scores[vid])
+        top_idx = np.argsort(cls)[::-1][:topk]
+        top_score = cls[top_idx]
+        score = np.asarray(result["score"])[:num_pred]
+        seg = np.asarray(result["segment"])[:num_pred]
+        n = len(score)
+        out["video-id"].extend([vid] * n * topk)
+        out["t-start"].append(np.tile(seg[:, 0], topk))
+        out["t-end"].append(np.tile(seg[:, 1], topk))
+        out["label"].append(np.repeat(top_idx, n))
+        out["score"].append(np.sqrt(top_score[:, None] * score[None, :]).flatten())
+    for key in ("t-start", "t-end", "label", "score"):
+        out[key] = np.concatenate(out[key]) if out[key] else np.zeros((0,))
+    out["video-id"] = np.asarray(out["video-id"])
+    return out

@@ -1,0 +1,129 @@
+"""Batched sharded inference (reference: inference.py + train_utils.py:510-601).
+
+Key TPU changes vs the reference:
+- batch > 1: the reference asserts batch_size = 1 at eval
+  (av_fd_no_recon.py:456); here videos are padded to max_seq_len uniformly by
+  the data pipeline, so the whole forward + decode + soft-NMS runs batched
+  under one jit,
+- decode + NMS + grid->seconds happen on device; only the final (max 100,
+  score>pre_nms) detections come back to the host,
+- the shard-file CLI (``sub_index``) and the per-5000-video JSON flush
+  (train_utils.py:546-551) are preserved for output-format parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.meta_arch import ArchConfig, AVLocalizer
+from ..models.points import generate_points
+from .decode import TestConfig, decode_and_postprocess
+
+
+def build_inference_fn(cfg: ArchConfig, test_cfg: TestConfig):
+    """Returns jit fn(params, feats, mask, fps, dur, stride, nframes) ->
+    (segs, scores, cls, valid, video_cls)."""
+    model = AVLocalizer(cfg)
+    points = generate_points(cfg.fpn_lens, cfg.fpn_strides, cfg.regression_range)
+
+    @jax.jit
+    def fn(params, feats, mask, fps, duration, feat_stride, feat_num_frames):
+        out = model.apply(params, feats, mask, train=False)
+        segs, scores, cls_idxs, valid = decode_and_postprocess(
+            out, points, fps, duration, feat_stride, feat_num_frames,
+            test_cfg, cfg.num_classes)
+        video_cls = out.get("cls_scores")
+        if video_cls is None:
+            video_cls = jnp.zeros((feats.shape[0], 1), jnp.float32)
+        return segs, scores, cls_idxs, valid, video_cls
+
+    return fn
+
+
+def results_to_items(video_ids: List[str], segs, scores, valid, video_cls,
+                     n_real: Optional[int] = None) -> List[dict]:
+    """Convert device outputs to the reference JSON item schema
+    (train_utils.py:577-591)."""
+    segs, scores, valid, video_cls = map(np.asarray, (segs, scores, valid, video_cls))
+    items = []
+    n = n_real if n_real is not None else len(video_ids)
+    for i in range(n):
+        v = valid[i]
+        items.append({
+            "video_id": video_ids[i],
+            "video_cls": video_cls[i].tolist(),
+            "scores": scores[i][v].tolist(),
+            "segments": segs[i][v].tolist(),
+        })
+    return items
+
+
+def inference_one_epoch(
+    loader_batches,
+    infer_fn,
+    params,
+    output_folder: Optional[str] = None,
+    flush_every: int = 5000,
+    print_freq: int = 20,
+):
+    """Stream detection results; returns the flat prediction table for
+    evaluation plus all result items. ``loader_batches`` yields collated
+    numpy batches with video_ids."""
+    if output_folder:
+        os.makedirs(output_folder, exist_ok=True)
+    results = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
+    batch_results: List[dict] = []
+    all_items: List[dict] = []
+    seen = 0
+    flushed = 0
+    start = time.time()
+
+    for bidx, batch in enumerate(loader_batches):
+        video_ids = batch["video_ids"]
+        segs, scores, cls_idxs, valid, video_cls = infer_fn(
+            params, batch["feats"], batch["mask"], batch["fps"],
+            batch["duration"], batch["feat_stride"], batch["feat_num_frames"])
+        items = results_to_items(video_ids, segs, scores, valid, video_cls,
+                                 n_real=len(video_ids))
+        valid_np = np.asarray(valid)
+        segs_np, scores_np = np.asarray(segs), np.asarray(scores)
+        for i, item in enumerate(items):
+            k = valid_np[i]
+            nseg = int(k.sum())
+            if nseg > 0:
+                results["video-id"].extend([item["video_id"]] * nseg)
+                results["t-start"].append(segs_np[i][k][:, 0])
+                results["t-end"].append(segs_np[i][k][:, 1])
+                results["label"].append(np.zeros(nseg, np.int64))
+                results["score"].append(scores_np[i][k])
+        batch_results.extend(items)
+        all_items.extend(items)
+        seen += len(items)
+
+        if output_folder and seen - flushed >= flush_every:
+            with open(os.path.join(output_folder, f"data_left{seen}.json"),
+                      "w", encoding="utf-8") as f:
+                json.dump(batch_results, f, ensure_ascii=False, indent=4)
+            batch_results = []
+            flushed = seen
+        if bidx % print_freq == 0:
+            rate = seen / max(time.time() - start, 1e-6)
+            print(f"Infer: {seen} videos, {rate:.1f} videos/s")
+
+    if output_folder and batch_results:
+        with open(os.path.join(output_folder, "data_left.json"),
+                  "w", encoding="utf-8") as f:
+            json.dump(batch_results, f, ensure_ascii=False, indent=4)
+
+    for key in ("t-start", "t-end", "label", "score"):
+        results[key] = (np.concatenate(results[key])
+                        if results[key] else np.zeros((0,)))
+    return results, all_items

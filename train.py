@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Training entry point (CLI-compatible with the reference train.py).
+
+Usage: python train.py configs_train/deepfake_exp13.yaml --output exp13
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pprint import pformat
+
+import jax
+import numpy as np
+
+from audio_visual_deepfake_detection_tpu.core import (
+    arch_config_from, load_config)
+from audio_visual_deepfake_detection_tpu.data import (
+    DeepfakeDataset, DataLoader, collate_batch)
+from audio_visual_deepfake_detection_tpu.parallel import make_mesh, replicate_tree
+from audio_visual_deepfake_detection_tpu.train import (
+    MetricsLogger, TrainState, build_train_step, init_model, make_optimizer,
+    restore_checkpoint, save_checkpoint, train_one_epoch)
+
+
+def main(args):
+    config = load_config(args.config)
+    seed = config["init_rand_seed"]
+    np.random.seed(seed & 0x7FFFFFFF)
+
+    # output folder, timestamped like the reference (train.py:41-51)
+    ts = time.strftime("%Y_%m_%d_%H_%M_%S")
+    run_name = args.output or ts
+    out_folder = os.path.join(config["output_folder"], f"{run_name}_{ts}")
+    os.makedirs(out_folder, exist_ok=True)
+    with open(os.path.join(out_folder, "config.txt"), "w") as f:
+        f.write(pformat(config))
+
+    dataset = DeepfakeDataset(
+        config["dataset_name"], True, config["train_split"], config["dataset"])
+    with_frame = config["dataset_name"].endswith("_THE")
+    max_gt = config["dataset"].get("max_gt_segments", 32)
+    max_seq_len = config["dataset"]["max_seq_len"]
+
+    def collate(samples):
+        return collate_batch(samples, max_seq_len, max_gt, with_frame)
+
+    mesh = make_mesh(config["tpu"]["dp_size"])
+    n_dev = mesh.devices.size
+    batch_size = config["loader"]["batch_size"]
+    # scale LR by device count like the reference scales by #GPUs (train.py:60-61)
+    config["opt"]["learning_rate"] *= n_dev
+    batch_size *= n_dev
+
+    loader = DataLoader(
+        dataset, batch_size, collate, shuffle=True, drop_last=True,
+        num_workers=config["loader"]["num_workers"] * n_dev, seed=seed,
+        prefetch=config["tpu"]["prefetch"])
+
+    cfg = arch_config_from(config)
+    params, rng = init_model(cfg, batch_size, seed)
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+    print(f"Model: {cfg.variant}, {n_params/1e6:.2f}M params, "
+          f"mesh={n_dev} device(s), batch={batch_size}")
+
+    tx, schedule = make_optimizer(
+        params, config["opt"], num_iters_per_epoch=len(loader),
+        clip_grad_l2norm=config["train_cfg"]["clip_grad_l2norm"])
+    state = TrainState.create(params, tx, config["train_cfg"]["init_loss_norm"], rng)
+
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = restore_checkpoint(args.resume, state)
+        print(f"Resumed from {args.resume} at epoch {start_epoch}")
+
+    state = replicate_tree(mesh, state)
+    train_step = jax.jit(build_train_step(cfg, config["train_cfg"]), donate_argnums=0)
+    logger = MetricsLogger(out_folder)
+
+    max_epochs = config["opt"]["epochs"] + (
+        config["opt"]["warmup_epochs"] if config["opt"]["warmup"] else 0)
+    for epoch in range(start_epoch, max_epochs):
+        state = train_one_epoch(
+            loader, state, train_step, epoch, mesh=mesh, schedule=schedule,
+            logger=logger, print_freq=args.print_freq,
+            ckpt_every_iters=args.ckpt_iter_freq,
+            ckpt_folder=os.path.join(out_folder, "iters_ckpt"),
+            batch_size=batch_size)
+        if (epoch == max_epochs - 1) or ((epoch + 1) % args.ckpt_freq == 0):
+            save_checkpoint(out_folder, epoch + 1, jax.device_get(state), is_best=True)
+    logger.close()
+    print(f"Training done -> {out_folder}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Train the TPU AV deepfake localizer")
+    parser.add_argument("config", type=str, help="path to a config yaml")
+    parser.add_argument("-p", "--print-freq", type=int, default=20)
+    parser.add_argument("-c", "--ckpt-freq", type=int, default=1,
+                        help="checkpoint every N epochs")
+    parser.add_argument("--ckpt-iter-freq", type=int, default=1000,
+                        help="mid-epoch checkpoint every N iters (0=off)")
+    parser.add_argument("--output", type=str, default="")
+    parser.add_argument("--resume", type=str, default="")
+    main(parser.parse_args())
