@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end localizer inference throughput (features in ->
+final detections out, including on-device decode + soft-NMS + voting).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference PyTorch pipeline run locally on CPU (the reference
+publishes no throughput numbers, BASELINE.md), batch=1 as the reference
+enforces (av_fd_no_recon.py:456), with host soft-NMS. The measured baseline is
+cached in BASELINE_MEASURED.json so repeat runs don't re-time torch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+setup_jax()
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+BATCH = 16
+SEQ = 768
+DIM = 3072
+WARMUP = 2
+ITERS = 8
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    from audio_visual_deepfake_detection_tpu.infer.decode import TestConfig
+    from audio_visual_deepfake_detection_tpu.infer.runner import build_inference_fn
+    from audio_visual_deepfake_detection_tpu.models import ArchConfig
+    from audio_visual_deepfake_detection_tpu.train.state import init_model
+
+    cfg = ArchConfig(
+        variant="av_recovery_norecon", input_dim=DIM, num_classes=1,
+        max_seq_len=SEQ, embd_dim=256, fpn_dim=256, head_dim=256, n_head=4,
+        mha_win_size=(7, 7, 7, 7, 7, -1), use_abs_pe=True, droppath=0.1,
+    )
+    test_cfg = TestConfig(
+        pre_nms_thresh=0.001, pre_nms_topk=2000, iou_threshold=0.1,
+        min_score=0.2, max_seg_num=100, nms_method="soft", nms_sigma=0.75,
+        duration_thresh=0.001, multiclass_nms=False, voting_thresh=0.9)
+
+    params, _ = init_model(cfg, BATCH, seed=0)
+    infer_fn = build_inference_fn(cfg, test_cfg)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((BATCH, SEQ, DIM), dtype=np.float32))
+    mask = jnp.ones((BATCH, SEQ), bool)
+    fps = jnp.full((BATCH,), 25.0)
+    dur = jnp.full((BATCH,), 9.6)
+    stride = jnp.full((BATCH,), 0.3125)
+    nframes = stride
+
+    def run():
+        out = infer_fn(params, feats, mask, fps, dur, stride, nframes)
+        jax.block_until_ready(out)
+        return out
+
+    for _ in range(WARMUP):
+        run()
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        run()
+    elapsed = time.perf_counter() - start
+    return BATCH * ITERS / elapsed
+
+
+def measure_reference_cpu() -> float:
+    """Time the reference torch model (CPU, batch=1) through the same
+    feats->detections path. Cached across runs."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["videos_per_sec"]
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import torch
+    from reference_oracle import load_reference_modeling, reference_model_kwargs
+    from audio_visual_deepfake_detection_tpu.runtime import host_softnms
+
+    modeling = load_reference_modeling()
+    kwargs = reference_model_kwargs(video_dim=256, audio_dim=2816, embd=256,
+                                    n_head=4, max_seq_len=SEQ)
+    torch.manual_seed(0)
+    ref = modeling.make_meta_arch("AVLocPointTransformerRecoveryNoNormNorecon",
+                                  **kwargs)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    n_videos = 4
+
+    def run_one(x):
+        with torch.no_grad():
+            mask = torch.ones(1, 1, SEQ, dtype=torch.bool)
+            norm_inputs, _, cls_scores = ref.interpolator(x, mask)
+            feats, masks = ref.backbone(x, norm_inputs, x, mask)
+            fpn_feats, fpn_masks = ref.neck(feats, masks)
+            points = ref.point_generator(fpn_feats)
+            out_cls = [t.permute(0, 2, 1) for t in ref.cls_head(fpn_feats, fpn_masks)]
+            out_off = [t.permute(0, 2, 1) for t in ref.reg_head(fpn_feats, fpn_masks)]
+            res = ref.inference_single_video(
+                points, [m.squeeze(1)[0] for m in fpn_masks],
+                [c[0] for c in out_cls], [o[0] for o in out_off])
+        segs = res["segments"].numpy()
+        scores = res["scores"].numpy()
+        if len(scores):
+            host_softnms(segs, scores, 0.1, 0.75, 0.2, 2, 100)
+
+    xs = [torch.from_numpy(
+        rng.standard_normal((1, DIM, SEQ)).astype(np.float32)) for _ in range(n_videos)]
+    run_one(xs[0])  # warmup
+    start = time.perf_counter()
+    for x in xs:
+        run_one(x)
+    vps = n_videos / (time.perf_counter() - start)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"videos_per_sec": vps,
+                   "note": "reference torch model, CPU, batch=1, "
+                           "feats->detections incl. host soft-NMS"}, f)
+    return vps
+
+
+def main():
+    ours = measure_ours()
+    try:
+        base = measure_reference_cpu()
+        vs = ours / base
+    except Exception as e:  # baseline measurement must never break the bench
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        vs = None
+    print(json.dumps({
+        "metric": "localizer_inference_videos_per_sec",
+        "value": round(ours, 2),
+        "unit": "videos/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

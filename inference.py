@@ -11,6 +11,9 @@ import time
 import jax
 import numpy as np
 
+from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+setup_jax()
+
 from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config, test_config_from)
 from audio_visual_deepfake_detection_tpu.data import DeepfakeInferenceDataset, DataLoader

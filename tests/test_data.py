@@ -1,0 +1,160 @@
+"""Data layer tests on the reference tinydataset metadata + synthetic features."""
+
+import json
+import os
+import glob
+
+import numpy as np
+import pytest
+
+from audio_visual_deepfake_detection_tpu.data import (
+    DeepfakeDataset, DeepfakeInferenceDataset, DataLoader, collate_batch,
+    linear_resample_np)
+from audio_visual_deepfake_detection_tpu.data import metadata as md
+
+TINY_META = "/root/reference/tinydataset/metadata"
+
+
+def _tiny_rel_jsons():
+    out = []
+    for path in sorted(glob.glob(os.path.join(TINY_META, "*", "*", "*", "*.json"))):
+        out.append(os.path.relpath(path, TINY_META))
+    return out
+
+
+@pytest.fixture(scope="module")
+def feature_root(tmp_path_factory):
+    """Synthetic .npy features with realistic row counts for every tiny video."""
+    root = tmp_path_factory.mktemp("feats")
+    rng = np.random.default_rng(0)
+    rels = _tiny_rel_jsons()
+    for rel in rels:
+        meta = md.load_video_meta(TINY_META, rel)
+        rel_npy = rel.replace(".json", ".npy")
+        for sub, rows, dim in [
+            ("video", max(int(round(meta.fps * meta.duration)), 8), 256),
+            ("byola", int(np.ceil(12.5 * meta.duration)) + 2, 2048),
+            ("emotion", int(np.ceil(50 * meta.duration)) + 2, 768),
+        ]:
+            path = root / sub / rel_npy
+            path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(path, rng.standard_normal((rows, dim)).astype(np.float32))
+    (root / "train.txt").write_text("\n".join(rels))
+    return root
+
+
+def dataset_cfg(root):
+    return {
+        "video_feat_folder": str(root / "video"),
+        "audio_byola_feat_folder": str(root / "byola"),
+        "audio_emo_feat_folder": str(root / "emotion"),
+        "train_txt": str(root / "train.txt"),
+        "json_folder": TINY_META,
+        "feat_stride": 1, "num_frames": 1, "default_fps": None,
+        "downsample_rate": 0, "max_seq_len": 768, "trunc_thresh": 0.5,
+        "crop_ratio": [0.9, 1.0], "num_classes": 1, "force_upsampling": True,
+    }
+
+
+def test_metadata_parsing():
+    rels = _tiny_rel_jsons()
+    assert len(rels) == 12
+    meta = md.load_video_meta(TINY_META, rels[0])
+    assert meta.duration > 0 and meta.fps > 0
+    # filename-based AV labels
+    assert md.av_labels_from_name("a/b/real.json") == (1, 1)
+    assert md.av_labels_from_name("a/b/fake_video_fake_audio.json") == (0, 0)
+    assert md.av_labels_from_name("a/b/unknown.json") == (-1, -1)
+
+
+def test_train_dataset_sample(feature_root):
+    ds = DeepfakeDataset("deepfake_video_audioEmoBYOLA_THE", True, ["train"],
+                         dataset_cfg(feature_root))
+    rng = np.random.default_rng(3)
+    n_with_segments = 0
+    for i in range(len(ds)):
+        s = ds.__getitem__(i, rng)
+        t, c = s["feats"].shape
+        assert c == 256 + 2048 + 768
+        assert t <= 768
+        if s["segments"] is not None:
+            n_with_segments += 1
+            assert s["segments"].shape[1] == 2
+            assert s["gt_frame_labels"] is not None
+            assert s["gt_frame_labels"].shape == (768,)
+        # segment grid math: seg_sec * fps / stride - 0.5
+        assert 0 < s["feat_stride"] < 2
+        np.testing.assert_allclose(s["feat_num_frames"], s["feat_stride"])
+    # 9 of 12 tiny videos are fakes with segments
+    assert n_with_segments == 9
+
+
+def test_resample_row_truncation(feature_root):
+    cfg = dataset_cfg(feature_root)
+    ds = DeepfakeDataset("deepfake_video_audioEmoBYOLA", False, ["train"], cfg)
+    s = ds.__getitem__(0, np.random.default_rng(0))
+    assert s["feats"].shape == (768, 3072)
+
+
+def test_collate_and_loader(feature_root):
+    ds = DeepfakeDataset("deepfake_video_audioEmoBYOLA", True, ["train"],
+                         dataset_cfg(feature_root))
+
+    def collate(samples):
+        return collate_batch(samples, 768, max_gt=8)
+
+    loader = DataLoader(ds, batch_size=4, collate=collate, shuffle=True,
+                        drop_last=True, num_workers=2, seed=5)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["feats"].shape == (4, 768, 3072)
+    assert b["mask"].shape == (4, 768)
+    assert b["gt_segments"].shape == (4, 8, 2)
+    assert b["has_gt"].dtype == bool
+    # mask covers the (possibly cropped) features
+    assert b["mask"].sum() > 0
+
+    # determinism: same seed+epoch -> same order
+    loader2 = DataLoader(ds, batch_size=4, collate=collate, shuffle=True,
+                         drop_last=True, num_workers=2, seed=5)
+    b2 = next(iter(loader2))
+    assert b2["video_ids"] == b["video_ids"]
+    np.testing.assert_allclose(b2["feats"], b["feats"])
+
+
+def test_inference_dataset(feature_root, tmp_path):
+    rels = _tiny_rel_jsons()
+    lines = []
+    for rel in rels[:5]:
+        meta = md.load_video_meta(TINY_META, rel)
+        lines.append(f"{rel.replace('.json', '.mp4')},{meta.duration}")
+    shard_dir = tmp_path / "test_folder"
+    shard_dir.mkdir()
+    (shard_dir / "deepfake_test_sub1.txt").write_text("\n".join(lines))
+
+    cfg = dataset_cfg(feature_root)
+    cfg["test_folder"] = str(shard_dir)
+    ds = DeepfakeInferenceDataset("deepfake_video_audioEmoBYOLA_inference",
+                                  ["test"], 1, cfg)
+    assert len(ds) == 5
+    s = ds[0]
+    assert s["feats"].shape == (768, 3072)
+    assert s["fps"] > 0 and s["feat_stride"] > 0
+
+
+def test_error_item_fallback(feature_root):
+    """A corrupt npy must fall back to the neighboring sample."""
+    ds = DeepfakeDataset("deepfake_video_audioEmoBYOLA", True, ["train"],
+                         dataset_cfg(feature_root))
+    bad = os.path.join(str(feature_root / "video"),
+                       ds.data_list[0].replace(".json", ".npy"))
+    backup = open(bad, "rb").read()
+    try:
+        with open(bad, "wb") as f:
+            f.write(b"not-an-npy")
+        s = ds.__getitem__(0, np.random.default_rng(0))
+        assert s["video_id"] == ds.data_list[1].replace(".json", ".mp4")
+    finally:
+        with open(bad, "wb") as f:
+            f.write(backup)

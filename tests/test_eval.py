@@ -1,0 +1,145 @@
+"""Evaluator + submission-pipeline tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audio_visual_deepfake_detection_tpu.eval import (
+    ANETdetection, CHALLENGE_TIOUS, average_recall_vs_nr_proposals,
+    postprocess_results_with_cls, remove_duplicate_annotations, run_evaluation)
+from audio_visual_deepfake_detection_tpu.infer.results import (
+    write_segment_predictions, write_video_predictions)
+
+
+def _gt_records():
+    return [
+        {"video_id": "v1.mp4", "n_fakes": 2,
+         "segments_time": np.asarray([[1.0, 2.0], [5.0, 6.0]])},
+        {"video_id": "v2.mp4", "n_fakes": 1,
+         "segments_time": np.asarray([[0.5, 1.5]])},
+        {"video_id": "v3.mp4", "n_fakes": 0, "segments_time": None},
+    ]
+
+
+def test_perfect_predictions_map_one():
+    ev = ANETdetection(_gt_records())
+    preds = {
+        "video-id": np.asarray(["v1.mp4", "v1.mp4", "v2.mp4"]),
+        "t-start": np.asarray([1.0, 5.0, 0.5]),
+        "t-end": np.asarray([2.0, 6.0, 1.5]),
+        "label": np.zeros(3, np.int64),
+        "score": np.asarray([0.9, 0.8, 0.7]),
+    }
+    _, mAP, avg = ev.evaluate(preds)
+    np.testing.assert_allclose(mAP, 1.0)
+    assert avg == pytest.approx(1.0)
+
+
+def test_wrong_predictions_map_zero():
+    ev = ANETdetection(_gt_records())
+    preds = {
+        "video-id": np.asarray(["v1.mp4"]),
+        "t-start": np.asarray([8.0]),
+        "t-end": np.asarray([9.0]),
+        "label": np.zeros(1, np.int64),
+        "score": np.asarray([0.9]),
+    }
+    _, mAP, _ = ev.evaluate(preds)
+    np.testing.assert_allclose(mAP, 0.0)
+
+
+def test_partial_overlap_threshold_behavior():
+    """A prediction with IoU 0.8 counts at tIoU 0.5/0.75 but not 0.9/0.95."""
+    ev = ANETdetection([{"video_id": "v.mp4", "n_fakes": 1,
+                         "segments_time": np.asarray([[0.0, 1.0]])}])
+    preds = {
+        "video-id": np.asarray(["v.mp4"]),
+        "t-start": np.asarray([0.0]),
+        "t-end": np.asarray([0.8]),  # IoU = 0.8
+        "label": np.zeros(1, np.int64),
+        "score": np.asarray([0.9]),
+    }
+    _, mAP, _ = ev.evaluate(preds)
+    np.testing.assert_allclose(mAP, [1.0, 1.0, 0.0, 0.0])
+
+
+def test_run_evaluation_end_to_end(tmp_path):
+    preds = {
+        "video-id": np.asarray(["v1.mp4", "v2.mp4"]),
+        "t-start": np.asarray([1.0, 0.5]),
+        "t-end": np.asarray([2.0, 1.5]),
+        "label": np.zeros(2, np.int64),
+        "score": np.asarray([0.9, 0.8]),
+    }
+    out = tmp_path / "proposal.json"
+    mAP, _ = run_evaluation(preds, _gt_records(), str(out), verbose=False)
+    assert 0 <= mAP <= 100
+    blob = json.load(open(out))
+    assert set(blob.keys()) == {"version", "results", "external_data"}
+    assert blob["results"]["v1.mp4"][0]["label"] == "Fake"
+    assert os.path.exists(str(out).replace(".json", ".txt"))
+
+
+def test_ar_at_n():
+    gt = {
+        "video-id": np.asarray(["v1", "v1"]),
+        "t-start": np.asarray([1.0, 5.0]),
+        "t-end": np.asarray([2.0, 6.0]),
+    }
+    props = {
+        "video-id": np.asarray(["v1", "v1", "v1"]),
+        "t-start": np.asarray([1.0, 8.0, 5.0]),
+        "t-end": np.asarray([2.0, 9.0, 6.0]),
+        "score": np.asarray([0.9, 0.8, 0.7]),
+    }
+    recall, avg_recall, budgets = average_recall_vs_nr_proposals(gt, props)
+    # with all 3 proposals both GTs are found at every tIoU
+    np.testing.assert_allclose(recall[:, -1], 1.0)
+    # with only the top-1 proposal only one GT is matched
+    np.testing.assert_allclose(recall[:, 0], 0.5)
+
+
+def test_remove_duplicate_annotations():
+    ants = [
+        {"segment": [1.0, 2.0], "label_id": 0},
+        {"segment": [1.0, 2.0], "label_id": 0},      # duplicate
+        {"segment": [1.0, 1.0005], "label_id": 0},   # too short
+        {"segment": [3.0, 4.0], "label_id": 0},
+    ]
+    assert len(remove_duplicate_annotations(ants)) == 2
+
+
+def test_postprocess_results_with_cls():
+    results = {"v1": {"score": np.asarray([0.5, 0.4]),
+                      "segment": np.asarray([[0, 1], [2, 3]]),
+                      "label": np.asarray([0, 0])}}
+    cls_scores = {"v1": [0.9, 0.2, 0.6]}
+    out = postprocess_results_with_cls(results, cls_scores, topk=2)
+    assert len(out["score"]) == 4
+    np.testing.assert_allclose(out["score"][0], np.sqrt(0.9 * 0.5))
+    assert set(out["label"]) == {0, 2}
+
+
+def test_submission_files(tmp_path):
+    items = [
+        {"video_id": "b.mp4", "video_cls": [3.0],
+         "scores": [0.95, 0.1], "segments": [[1.0, 2.0], [4.0, 5.0]]},
+        {"video_id": "a.mp4", "video_cls": [-2.0], "scores": [], "segments": []},
+        {"video_id": "b.mp4", "video_cls": [0.0], "scores": [0.5],
+         "segments": [[9.0, 9.5]]},  # duplicate id: ignored
+    ]
+    txt = tmp_path / "prediction.txt"
+    n = write_video_predictions(items, str(txt))
+    assert n == 2
+    lines = txt.read_text().splitlines()
+    assert lines[0].startswith("a.mp4;")
+    # sigmoid(3.0)=0.9526 > 0.9 -> clamped to 1.0
+    assert lines[1] == "b.mp4;1.0"
+
+    out = tmp_path / "prediction.json"
+    write_segment_predictions(items, str(out))
+    blob = json.load(open(out))
+    assert blob["b.mp4"] == [[0.95, 1.0, 2.0]]       # 0.1 filtered at 0.2
+    assert blob["a.mp4"] == [[0, 0, 0]]               # empty sentinel

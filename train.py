@@ -14,6 +14,9 @@ from pprint import pformat
 import jax
 import numpy as np
 
+from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+setup_jax()
+
 from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config)
 from audio_visual_deepfake_detection_tpu.data import (
