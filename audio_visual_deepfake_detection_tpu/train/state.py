@@ -120,6 +120,9 @@ def init_model(cfg: ArchConfig, batch_size: int, seed: int):
     p_rng, d_rng, s_rng = jax.random.split(rng, 3)
     feats = jnp.zeros((batch_size, cfg.max_seq_len, cfg.input_dim), jnp.float32)
     mask = jnp.ones((batch_size, cfg.max_seq_len), bool)
-    params = model.init({"params": p_rng, "dropout": d_rng}, feats, mask, train=True)
+    # jit the init: un-jitted flax init dispatches op-by-op, which is
+    # pathologically slow over a remote-TPU tunnel
+    init_fn = jax.jit(lambda rngs, f, m: model.init(rngs, f, m, train=True))
+    params = init_fn({"params": p_rng, "dropout": d_rng}, feats, mask)
     params = init_cls_prior(params, cfg.cls_prior_prob, cfg.head_empty_cls)
     return params, s_rng

@@ -1,0 +1,120 @@
+"""C3D video encoder golden test vs a torch oracle + emotion2vec invariants."""
+
+import numpy as np
+import pytest
+import torch
+from torch import nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from audio_visual_deepfake_detection_tpu.frontends.video import (
+    C3DVideoEncoder, bilinear_resize_video, chunk_video)
+from audio_visual_deepfake_detection_tpu.frontends.emotion2vec import (
+    CONV_SPEC, Emotion2Vec, Emotion2VecConfig, conv_output_length)
+
+
+class TorchC3D(tnn.Module):
+    """Oracle mirroring model/video_encoder.py:12-62 (utils.Conv3d =
+    Conv3d + LeakyReLU)."""
+
+    def __init__(self, nf=(8, 12, 16, 16), out_dim=32):
+        super().__init__()
+        d0, d1, d2, d3 = nf
+
+        def c(i, o):
+            return tnn.Sequential(tnn.Conv3d(i, o, 3, 1, 1), tnn.LeakyReLU())
+
+        self.b0 = tnn.Sequential(c(3, d0), c(d0, d0), tnn.MaxPool3d((1, 3, 3)))
+        self.b1 = tnn.Sequential(c(d0, d1), c(d1, d1), tnn.MaxPool3d((1, 2, 2)))
+        self.b2 = tnn.Sequential(c(d1, d2), c(d2, d2), tnn.MaxPool3d((1, 2, 2)))
+        self.b3a = tnn.Sequential(c(d2, d3), tnn.MaxPool3d((1, 2, 2)))
+        self.b3b = tnn.Sequential(c(d3, d3), tnn.MaxPool3d((1, 2, 2)))
+        self.proj = tnn.Sequential(tnn.Conv1d(d3 * 4, out_dim, 1), tnn.LeakyReLU())
+
+    def forward(self, v):  # (B, 3, T, H, W)
+        x = self.b2(self.b1(self.b0(v)))
+        x = self.b3b(self.b3a(x))
+        b, c_, t, h, w = x.shape
+        # einops Rearrange("b c t h w -> b (c h w) t")
+        x = x.permute(0, 1, 3, 4, 2).reshape(b, c_ * h * w, t)
+        return self.proj(x)  # (B, out, T)
+
+
+def _convert_c3d(ref: TorchC3D, template):
+    from flax import traverse_util
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    name_map = {
+        "b0c0": "b0.0.0", "b0c1": "b0.1.0",
+        "b1c0": "b1.0.0", "b1c1": "b1.1.0",
+        "b2c0": "b2.0.0", "b2c1": "b2.1.0",
+        "b3c0": "b3a.0.0", "b3c1": "b3b.0.0",
+    }
+    out = {}
+    for path, tmpl in traverse_util.flatten_dict(template).items():
+        core = path[1:]
+        if core[0] in name_map:
+            w = sd[f"{name_map[core[0]]}.{'weight' if core[-1] == 'kernel' else 'bias'}"]
+            if core[-1] == "kernel":
+                # torch (out, in, kt, kh, kw) -> flax (kt, kh, kw, in, out)
+                w = np.transpose(w, (2, 3, 4, 1, 0))
+            out[path] = w
+        else:  # proj: torch Conv1d (out, in, 1)
+            w = sd[f"proj.0.{'weight' if core[-1] == 'kernel' else 'bias'}"]
+            if core[-1] == "kernel":
+                w = np.transpose(w[:, :, 0])
+            out[path] = w
+        assert out[path].shape == tuple(tmpl.shape), (path,)
+    return traverse_util.unflatten_dict(out)
+
+
+def test_c3d_matches_torch_oracle(rng):
+    torch.manual_seed(0)
+    ref = TorchC3D()
+    ref.eval()
+    ours = C3DVideoEncoder(n_features=(8, 12, 16, 16), out_dim=32)
+
+    video = rng.standard_normal((1, 4, 96, 96, 3)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(video))
+    params = _convert_c3d(ref, template)
+    out = np.asarray(ours.apply(params, jnp.asarray(video)))
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(video).permute(0, 4, 1, 2, 3)) \
+            .permute(0, 2, 1).numpy()
+    assert out.shape == ref_out.shape == (1, 4, 32)
+    np.testing.assert_allclose(out, ref_out, atol=1e-4)
+
+
+def test_chunk_and_resize(rng):
+    frames = (rng.uniform(0, 255, (700, 20, 20, 3))).astype(np.uint8)
+    chunks, t = chunk_video(frames, 512)
+    assert chunks.shape == (2, 512, 20, 20, 3) and t == 700
+    resized = bilinear_resize_video(jnp.asarray(chunks[0], jnp.float32), (8, 8))
+    assert resized.shape == (512, 8, 8, 3)
+
+
+def test_emotion2vec_shapes_and_rate(rng):
+    cfg = Emotion2VecConfig(embed_dim=64, depth=2, prenet_depth=1, num_heads=4)
+    model = Emotion2Vec(cfg)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32)  # 1 s
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(wav))
+    out = model.apply(params, jnp.asarray(wav))
+    # 320x downsample => ~50 frames per second
+    assert out.shape == (1, conv_output_length(16000), 64)
+    assert abs(out.shape[1] - 50) <= 1
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_emotion2vec_padding_mask(rng):
+    cfg = Emotion2VecConfig(embed_dim=32, depth=1, prenet_depth=1, num_heads=2)
+    model = Emotion2Vec(cfg)
+    wav = rng.standard_normal((2, 8000)).astype(np.float32)
+    pad_mask = np.zeros((2, 8000), bool)
+    pad_mask[1, 4000:] = True  # second sample is half padding
+    wav2 = wav * ~pad_mask
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(wav2),
+                        jnp.asarray(pad_mask))
+    out = model.apply(params, jnp.asarray(wav2), jnp.asarray(pad_mask))
+    assert np.all(np.isfinite(np.asarray(out)))
