@@ -1,0 +1,102 @@
+"""Online feature-extraction pipeline: raw media -> the three feature streams.
+
+Replaces the reference's three offline extraction programs
+(audio_feature/content_audio, audio_feature/emotion_audio,
+video_feature/aligned_video) with one host-decode / device-compute driver.
+Outputs are row-count compatible with the .npy caches the dataset layer
+consumes, so offline caching and online extraction interoperate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..preprocess.video_io import read_video_frames
+from ..preprocess.wav import load_wav
+from .byola import AudioNTT2020, byola_features
+from .emotion2vec import Emotion2Vec, Emotion2VecConfig
+from .video import C3DVideoEncoder, bilinear_resize_video, chunk_video
+from .mel import byola_log_mel
+
+
+@dataclasses.dataclass
+class FrontendParams:
+    """Frozen encoder parameter trees (converted or randomly initialized)."""
+
+    video: Dict
+    byola: Dict
+    emotion: Dict
+
+
+class FeatureExtractor:
+    """Batched jit feature extraction for all three streams."""
+
+    def __init__(self, params: Optional[FrontendParams] = None,
+                 emotion_cfg: Emotion2VecConfig = Emotion2VecConfig(),
+                 video_chunk: int = 512, seed: int = 0,
+                 video_model: Optional[C3DVideoEncoder] = None,
+                 byola_model: Optional[AudioNTT2020] = None,
+                 emotion_model: Optional[Emotion2Vec] = None):
+        self.video_model = video_model or C3DVideoEncoder()
+        self.byola_model = byola_model or AudioNTT2020()
+        self.emotion_model = emotion_model or Emotion2Vec(emotion_cfg)
+        self.video_chunk = video_chunk
+        if params is None:
+            params = self._random_params(seed)
+        self.params = params
+        self._video_fn = jax.jit(self.video_model.apply)
+        self._byola_fn = jax.jit(
+            lambda p, wav: byola_features(p, wav, self.byola_model))
+        self._emotion_fn = jax.jit(self.emotion_model.apply)
+
+    def _random_params(self, seed: int) -> FrontendParams:
+        rng = jax.random.PRNGKey(seed)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        v = self.video_model.init(r1, jnp.zeros((1, 4, 96, 96, 3)))
+        b = self.byola_model.init(r2, jnp.zeros((1, 96, 64)))
+        e = self.emotion_model.init(r3, jnp.zeros((1, 16000)))
+        return FrontendParams(video=v, byola=b, emotion=e)
+
+    def video_features(self, frames: np.ndarray) -> np.ndarray:
+        """(T, H, W, 3) uint8 -> (T, 256)."""
+        chunks, t = chunk_video(frames.astype(np.float32) / 255.0, self.video_chunk)
+        resized = jax.vmap(lambda f: bilinear_resize_video(f, (96, 96)))(
+            jnp.asarray(chunks))
+        feats = self._video_fn(self.params.video, resized)
+        return np.asarray(feats).reshape(-1, feats.shape[-1])[:t]
+
+    def byola_features(self, wav: np.ndarray) -> np.ndarray:
+        """(L,) 16 kHz -> (~L/1280, 2048) @ 12.5 Hz."""
+        out = self._byola_fn(self.params.byola, jnp.asarray(wav)[None])
+        return np.asarray(out[0])
+
+    def emotion_features(self, wav: np.ndarray) -> np.ndarray:
+        """(L,) 16 kHz -> (~L/320, 768) @ 50 Hz."""
+        out = self._emotion_fn(self.params.emotion, jnp.asarray(wav)[None])
+        return np.asarray(out[0])
+
+    def extract_all(self, mp4_path: str, wav_path: Optional[str] = None
+                    ) -> Dict[str, np.ndarray]:
+        frames, fps = read_video_frames(mp4_path)
+        out = {"video": self.video_features(frames)}
+        if wav_path and os.path.exists(wav_path):
+            wav = load_wav(wav_path)
+            out["byola"] = self.byola_features(wav)
+            out["emotion"] = self.emotion_features(wav)
+        return out
+
+    def extract_to_cache(self, mp4_path: str, wav_path: Optional[str],
+                         cache_root: str, rel_npy: str) -> None:
+        feats = self.extract_all(mp4_path, wav_path)
+        names = {"video": "align_video", "byola": "content_audio",
+                 "emotion": "emotion_audio"}
+        for key, arr in feats.items():
+            path = os.path.join(cache_root, names[key], rel_npy)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.save(path, arr.astype(np.float32))

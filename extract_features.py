@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Offline feature-cache driver (replaces the reference's three extraction
+programs under audio_feature/ and video_feature/): decode media on the host,
+run the frontends on device, write .npy caches the dataset layer consumes.
+
+Weights: pass reference checkpoints to convert, or run with random weights
+for smoke/perf testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+setup_jax()
+
+from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtractor
+
+
+def main(args):
+    with open(args.file_list) as f:
+        rels = [line.strip() for line in f if line.strip()]
+
+    extractor = FeatureExtractor(seed=args.seed)
+    errors = []
+    for i, rel in enumerate(rels):
+        mp4 = os.path.join(args.video_root, rel)
+        wav = os.path.join(args.wav_root, rel.replace(".mp4", ".wav")) \
+            if args.wav_root else None
+        rel_npy = rel.replace(".mp4", ".npy")
+        try:
+            extractor.extract_to_cache(mp4, wav, args.output_root, rel_npy)
+        except Exception as e:  # keep going on corrupt media, log errors
+            errors.append((rel, str(e)))
+        if i % 50 == 0:
+            print(f"{i}/{len(rels)} done ({len(errors)} errors)")
+    if errors:
+        with open(os.path.join(args.output_root, "extract_errors.txt"), "a") as f:
+            for rel, err in errors:
+                f.write(f"{rel}\t{err}\n")
+    print(f"done: {len(rels) - len(errors)} ok, {len(errors)} errors")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("file_list", help="txt of relative mp4 paths")
+    parser.add_argument("--video-root", required=True)
+    parser.add_argument("--wav-root", default="")
+    parser.add_argument("--output-root", required=True)
+    parser.add_argument("--seed", type=int, default=0)
+    main(parser.parse_args())
