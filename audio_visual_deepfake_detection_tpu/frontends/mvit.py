@@ -1,0 +1,254 @@
+"""MViT-v2 video encoder family (mvit_v2_t / s / b).
+
+The reference's production visual frontend wraps torchvision's ``_mvit`` with
+custom settings (video_feature/aligned_video/model/video_encoder.py:65-201):
+patch-embed kernel (3,15,15) stride (1,12,12) padding (1,3,3) on 96x96 inputs
+(-> 8x8 spatial tokens, temporal stride 1), residual_pool=True,
+residual_with_cls_embed=False, rel_pos_embed=True, proj_after_attn=True, and
+a per-stage config from ``generate_config`` (:97-127): stage blocks
+[2,3,16,3] (b) with heads [1,2,4,8], channels [96,192,384,768], q-stride
+[1,2,2] at each stage entry, kv-stride halving per stage, final output dim
+256. The feature path drops the classification head, keeps all patch tokens,
+and returns (B, C, T') per-frame embeddings (:81-95).
+
+This is a faithful JAX re-implementation of that architecture (MViTv2:
+pooled multiscale attention with residual pooling and decomposed relative
+position embeddings). Numerical parity with torchvision cannot be verified in
+this environment (torchvision is not installed and the AlignVideo checkpoint
+is not shipped); structure and shapes follow the sources above.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class MSBlockConfig:
+    num_heads: int
+    input_channels: int
+    output_channels: int
+    kernel_q: Tuple[int, int, int]
+    kernel_kv: Tuple[int, int, int]
+    stride_q: Tuple[int, int, int]
+    stride_kv: Tuple[int, int, int]
+
+
+def generate_config(blocks: Sequence[int], heads: Sequence[int],
+                    channels: Sequence[int], out_dim: int) -> List[MSBlockConfig]:
+    """Port of video_encoder.py:generate_config (:97-127)."""
+    num_heads, in_ch = [], []
+    stride_q = [[1, 1, 1] for _ in range(sum(blocks))]
+    cum = np.cumsum(blocks)
+    stride_kv = []
+    for i, nb in enumerate(blocks):
+        num_heads.extend([heads[i]] * nb)
+        in_ch.extend([channels[i]] * nb)
+        if i != len(blocks) - 1:
+            stride_q[cum[i]] = [1, 2, 2]
+        skv = 2 ** (len(blocks) - 1 - i)
+        stride_kv.extend([[1, skv, skv]] * nb)
+    input_channels = [in_ch[0]] + in_ch[:-1]
+    output_channels = in_ch[:-1] + [out_dim]
+    return [
+        MSBlockConfig(
+            num_heads=num_heads[i],
+            input_channels=input_channels[i],
+            output_channels=output_channels[i],
+            kernel_q=(3, 3, 3),
+            kernel_kv=(3, 3, 3),
+            stride_q=tuple(stride_q[i]),
+            stride_kv=tuple(stride_kv[i]),
+        )
+        for i in range(len(num_heads))
+    ]
+
+
+def _prod(xs):
+    out = 1
+    for x in xs:
+        out *= x
+    return out
+
+
+class TokenPool(nn.Module):
+    """Depthwise conv pooling of (B, H, N, d) head tokens over a (T, Hs, Ws)
+    grid, skipping the class token; conv groups = head_dim, followed by LN."""
+
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+        if _prod(self.stride) == 1 and _prod(self.kernel) == 1:
+            return x, thw
+        b, h, n, d = x.shape
+        t, hs, ws = thw
+        cls_tok, tokens = x[:, :, :1], x[:, :, 1:]
+        grid = tokens.reshape(b * h, t, hs, ws, d)
+        pad = tuple(k // 2 for k in self.kernel)
+        grid = nn.Conv(d, self.kernel, strides=self.stride,
+                       padding=[(p, p) for p in pad],
+                       feature_group_count=d, use_bias=False, name="pool")(grid)
+        new_thw = tuple(grid.shape[1:4])
+        grid = grid.reshape(b, h, _prod(new_thw), d)
+        grid = nn.LayerNorm(epsilon=1e-6, name="norm")(grid)
+        out = jnp.concatenate([cls_tok, grid], axis=2)
+        return out, new_thw
+
+
+def _rel_pos_index(q_size: int, k_size: int) -> np.ndarray:
+    """Relative position lookup (MViTv2 decomposed rel-pos with size ratio
+    correction)."""
+    ratio = max(k_size / q_size, 1.0)
+    q_ratio = max(q_size / k_size, 1.0)
+    qi = np.arange(q_size)[:, None] * q_ratio
+    ki = np.arange(k_size)[None, :] * ratio
+    return (qi - ki + (k_size - 1) * ratio).astype(np.int32)
+
+
+class MultiscaleAttention(nn.Module):
+    cfg: MSBlockConfig
+    residual_pool: bool = True
+    residual_with_cls_embed: bool = False
+    rel_pos_embed: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+        c = self.cfg
+        out_dim = c.output_channels  # proj_after_attn: attention at output dim
+        nh = c.num_heads
+        d = out_dim // nh
+        b, n, _ = x.shape
+
+        qkv = nn.Dense(3 * out_dim, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        q, q_thw = TokenPool(c.kernel_q, c.stride_q, name="pool_q")(q, thw)
+        k, k_thw = TokenPool(c.kernel_kv, c.stride_kv, name="pool_k")(k, thw)
+        v, _ = TokenPool(c.kernel_kv, c.stride_kv, name="pool_v")(v, thw)
+
+        att = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k)
+
+        if self.rel_pos_embed:
+            qt, qh, qw = q_thw
+            kt, kh, kw = k_thw
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * max(qh, kh) - 1, d))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * max(qw, kw) - 1, d))
+            rel_t = self.param("rel_pos_t", nn.initializers.zeros,
+                               (2 * max(qt, kt) - 1, d))
+            q_grid = q[:, :, 1:].reshape(b, nh, qt, qh, qw, d)
+            # decomposed bias: attn[q, k] += q . R_h[dh] + q . R_w[dw] + q . R_t[dt]
+            Rh = rel_h[jnp.asarray(_rel_pos_index(qh, kh))]      # (qh, kh, d)
+            Rw = rel_w[jnp.asarray(_rel_pos_index(qw, kw))]
+            Rt = rel_t[jnp.asarray(_rel_pos_index(qt, kt))]
+            bias_h = jnp.einsum("bnthwd,hkd->bnthwk", q_grid, Rh)  # (..., kh)
+            bias_w = jnp.einsum("bnthwd,wkd->bnthwk", q_grid, Rw)  # (..., kw)
+            bias_t = jnp.einsum("bnthwd,tkd->bnthwk", q_grid, Rt)  # (..., kt)
+            bias = (bias_t[:, :, :, :, :, :, None, None]
+                    + bias_h[:, :, :, :, :, None, :, None]
+                    + bias_w[:, :, :, :, :, None, None, :])
+            bias = bias.reshape(b, nh, qt * qh * qw, kt * kh * kw)
+            att = att.at[:, :, 1:, 1:].add(bias)
+
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        if self.residual_pool:
+            if self.residual_with_cls_embed:
+                out = out + q
+            else:
+                out = out.at[:, :, 1:].add(q[:, :, 1:])
+        n_q = out.shape[2]
+        out = out.transpose(0, 2, 1, 3).reshape(b, n_q, out_dim)
+        out = nn.Dense(out_dim, name="proj")(out)
+        return out, q_thw
+
+
+class MultiscaleBlock(nn.Module):
+    cfg: MSBlockConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+        c = self.cfg
+        x_norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x_attn, thw_new = MultiscaleAttention(c, name="attn")(x_norm1, thw)
+
+        # proj_after_attn=True: channel projection happens on norm1 output
+        if c.input_channels != c.output_channels:
+            x = nn.Dense(c.output_channels, name="project")(x_norm1)
+        if _prod(c.stride_q) > 1:
+            b, n, ch = x.shape
+            t, hs, ws = thw
+            cls_tok, tokens = x[:, :1], x[:, 1:]
+            grid = tokens.reshape(b, t, hs, ws, ch)
+            kernel = tuple(s + 1 if s > 1 else s for s in c.stride_q)
+            pad = tuple(k // 2 for k in kernel)
+            grid = nn.max_pool(grid, kernel, strides=c.stride_q,
+                               padding=[(p, p) for p in pad])
+            x = jnp.concatenate(
+                [cls_tok, grid.reshape(b, -1, ch)], axis=1)
+        x = x + x_attn
+
+        x_norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(4 * c.output_channels, name="mlp_fc1")(x_norm2)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.output_channels, name="mlp_fc2")(h)
+        return x + h, thw_new
+
+
+class MViTVideoEncoder(nn.Module):
+    """(B, T, 96, 96, 3) -> (B, T', out_dim) patch-token features
+    (MvitVideoEncoder.forward, video_encoder.py:81-95: conv_proj -> cls token
+    -> blocks -> final LN -> drop cls token)."""
+
+    block_setting: Tuple[MSBlockConfig, ...]
+    patch_kernel: Tuple[int, int, int] = (3, 15, 15)
+    patch_stride: Tuple[int, int, int] = (1, 12, 12)
+    patch_padding: Tuple[int, int, int] = (1, 3, 3)
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        c0 = self.block_setting[0].input_channels
+        x = nn.Conv(c0, self.patch_kernel, strides=self.patch_stride,
+                    padding=[(p, p) for p in self.patch_padding],
+                    name="conv_proj")(video)
+        b, t, hs, ws, ch = x.shape
+        thw = (t, hs, ws)
+        x = x.reshape(b, t * hs * ws, ch)
+        cls_tok = self.param("class_token", nn.initializers.zeros, (1, 1, ch))
+        x = jnp.concatenate([jnp.tile(cls_tok, (b, 1, 1)), x], axis=1)
+
+        for i, cfg in enumerate(self.block_setting):
+            x, thw = MultiscaleBlock(cfg, name=f"block_{i}")(x, thw)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = x[:, 1:]
+        # (B, T'*H'*W', C): average the spatial tokens per frame to per-frame
+        # features; with the reference's strides H'=W'=1 at the final stage
+        t_out = thw[0]
+        x = x.reshape(b, t_out, thw[1] * thw[2], x.shape[-1]).mean(axis=2)
+        return x
+
+
+def mvit_v2_t(out_dim: int = 256) -> MViTVideoEncoder:
+    return MViTVideoEncoder(tuple(generate_config(
+        [1, 2, 5, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)))
+
+
+def mvit_v2_s(out_dim: int = 256) -> MViTVideoEncoder:
+    return MViTVideoEncoder(tuple(generate_config(
+        [1, 2, 11, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)))
+
+
+def mvit_v2_b(out_dim: int = 256) -> MViTVideoEncoder:
+    return MViTVideoEncoder(tuple(generate_config(
+        [2, 3, 16, 3], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)))

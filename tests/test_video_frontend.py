@@ -118,3 +118,16 @@ def test_emotion2vec_padding_mask(rng):
                         jnp.asarray(pad_mask))
     out = model.apply(params, jnp.asarray(wav2), jnp.asarray(pad_mask))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_mvit_shapes(rng):
+    from audio_visual_deepfake_detection_tpu.frontends.mvit import (
+        MViTVideoEncoder, generate_config)
+
+    cfgs = tuple(generate_config([1, 1], [1, 2], [8, 16], out_dim=24))
+    model = MViTVideoEncoder(cfgs)
+    video = rng.standard_normal((1, 4, 24, 24, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(video))
+    out = model.apply(params, jnp.asarray(video))
+    assert out.shape == (1, 4, 24)
+    assert np.all(np.isfinite(np.asarray(out)))
