@@ -201,6 +201,10 @@ def convert_state_dict(state_dict: Dict, params_template) -> Dict:
         # drop the 'params' collection head if present
         core = path[1:] if path[0] == "params" else path
         ref_name, kind = _ref_name(tuple(core))
+        if ref_name not in sd and ref_name.startswith("interpolator."):
+            # the THE meta-arch names its recovery module 'segmentandCls'
+            # (av_fd_no_recon2.py:318)
+            ref_name = ref_name.replace("interpolator.", "segmentandCls.", 1)
         if ref_name not in sd:
             raise KeyError(f"{ref_name} (for {path}) missing from checkpoint")
         w = _TRANSFORMS[kind](sd[ref_name])

@@ -80,3 +80,80 @@ def test_full_model_parity(parity_pair, valid_len):
         np.testing.assert_array_equal(
             np.asarray(a), b.squeeze(1).numpy(),
             err_msg=f"mask mismatch at level {lvl}")
+
+
+def test_the_variant_parity():
+    """SegmentandCls + THE meta-arch parity (av_fd_no_recon2.py)."""
+    modeling = load_reference_modeling()
+    kwargs = reference_model_kwargs(max_seq_len=192)
+    torch.manual_seed(1)
+    ref = modeling.make_meta_arch(
+        "AVLocPointTransformerRecoveryNoNormNoreconTHE", **kwargs)
+    ref.eval()
+
+    cfg = ArchConfig(
+        variant="av_recovery_the", input_dim=64, num_classes=1,
+        max_seq_len=192, embd_dim=32, fpn_dim=32, head_dim=32, n_head=4,
+        mha_win_size=(7, 7, 7, 7, 7, -1), use_abs_pe=True, droppath=0.1,
+    )
+    ours = AVLocalizer(cfg)
+    feats0 = jnp.zeros((1, 192, 64))
+    mask0 = jnp.ones((1, 192), bool)
+    template = ours.init(jax.random.PRNGKey(0), feats0, mask0, train=False)
+    params = {"params": convert_state_dict(ref.state_dict(), template["params"])}
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 192, 64)).astype(np.float32)
+    x_t = torch.from_numpy(x).permute(0, 2, 1)
+    mask_t = torch.ones(1, 1, 192, dtype=torch.bool)
+    with torch.no_grad():
+        norm_inputs, seg_scores_t, cls_scores_t = ref.segmentandCls(x_t, mask_t)
+        feats, masks = ref.backbone(x_t, norm_inputs, x_t, mask_t)
+        fpn_feats, fpn_masks = ref.neck(feats, masks)
+        out_cls_t = ref.cls_head(fpn_feats, fpn_masks)
+
+    out = ours.apply(params, jnp.asarray(x), jnp.ones((1, 192), bool), train=False)
+    np.testing.assert_allclose(np.asarray(out["cls_scores"]),
+                               cls_scores_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["seg_scores"]),
+                               seg_scores_t[None].numpy() if seg_scores_t.ndim == 1
+                               else seg_scores_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["out_cls"][0]),
+                               out_cls_t[0].permute(0, 2, 1).numpy(), atol=2e-4)
+
+
+def test_recovery_recon_variant_parity():
+    """Full-recon meta-arch (av_fd_meta_arch.py): reconstruction feeds the
+    backbone k-stream and is returned for the L1 loss."""
+    modeling = load_reference_modeling()
+    kwargs = reference_model_kwargs(max_seq_len=192)
+    torch.manual_seed(2)
+    ref = modeling.make_meta_arch("AVLocPointTransformerRecoveryNoNorm", **kwargs)
+    ref.eval()
+
+    cfg = ArchConfig(
+        variant="av_recovery", input_dim=64, num_classes=1,
+        max_seq_len=192, embd_dim=32, fpn_dim=32, head_dim=32, n_head=4,
+        mha_win_size=(7, 7, 7, 7, 7, -1), use_abs_pe=True, droppath=0.1,
+    )
+    ours = AVLocalizer(cfg)
+    feats0 = jnp.zeros((1, 192, 64))
+    mask0 = jnp.ones((1, 192), bool)
+    template = ours.init(jax.random.PRNGKey(0), feats0, mask0, train=False)
+    params = {"params": convert_state_dict(ref.state_dict(), template["params"])}
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 192, 64)).astype(np.float32)
+    x_t = torch.from_numpy(x).permute(0, 2, 1)
+    mask_t = torch.ones(1, 1, 192, dtype=torch.bool)
+    with torch.no_grad():
+        norm_inputs, reco_t, cls_scores_t = ref.interpolator(x_t, mask_t)
+        feats, masks = ref.backbone(x_t, norm_inputs, reco_t, mask_t)
+        fpn_feats, fpn_masks = ref.neck(feats, masks)
+        out_cls_t = ref.cls_head(fpn_feats, fpn_masks)
+
+    out = ours.apply(params, jnp.asarray(x), jnp.ones((1, 192), bool), train=False)
+    np.testing.assert_allclose(np.asarray(out["reco"]),
+                               reco_t.permute(0, 2, 1).numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["out_cls"][0]),
+                               out_cls_t[0].permute(0, 2, 1).numpy(), atol=2e-4)
