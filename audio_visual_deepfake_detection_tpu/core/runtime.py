@@ -15,3 +15,9 @@ def setup_jax(cache_dir: str | None = None) -> None:
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # fused Pallas banded attention on TPU (AVDD_USE_PALLAS=0 to disable)
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_USE_PALLAS", "1") == "1":
+        from ..ops import attention
+
+        attention.USE_PALLAS = True

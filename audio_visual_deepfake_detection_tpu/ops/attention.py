@@ -30,6 +30,10 @@ import jax.numpy as jnp
 
 NEG_PENALTY = -1e4  # finite penalty used by the reference for masked kv
 
+# set True (core.runtime.setup_jax does this on TPU) to route plain banded
+# attention through the fused Pallas kernel in ops/pallas/band_attention.py
+USE_PALLAS = False
+
 
 def shift_time(x: jnp.ndarray, d: int, axis: int = -2) -> jnp.ndarray:
     """Return y with y[..., i, :] = x[..., i+d, :], zero-filled out of range."""
@@ -67,6 +71,11 @@ def band_attention(
 
     Returns: (B, H, T, D) context.
     """
+    if USE_PALLAS and rel_pe is None and time_weight is None:
+        from .pallas.band_attention import band_attention_pallas
+
+        return band_attention_pallas(q, k, v, kv_valid, w_overlap)
+
     b, h, t, d_head = q.shape
     band = 2 * w_overlap + 1
     kv_pen = jnp.where(kv_valid, 0.0, NEG_PENALTY).astype(q.dtype)  # (B, T)

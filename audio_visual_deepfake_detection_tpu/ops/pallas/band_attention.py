@@ -1,0 +1,106 @@
+"""Fused banded sliding-window attention kernel (Pallas/TPU).
+
+One program per (batch x head): q/k/v tiles live in VMEM, the 2w+1 relative
+offsets are unrolled as shifted VPU multiply-reduces, and softmax runs as a
+streaming max/exp/sum over the offsets — no (T, 2w+1) score tensor ever
+round-trips to HBM and no (T, T) matrix exists. Matches the semantics of
+ops.attention.band_attention (reference LocalMaskedMHCA, blocks.py:883-1225):
+
+- -inf outside the band / sequence (edge windows renormalize),
+- finite -1e4 penalty on masked kv positions,
+- post-softmax zeroing of rows whose query-aligned kv slot is masked.
+
+At the production shape (T=768, D=64, w=3) the arithmetic is tiny; the win
+over the XLA lowering is fusion: one HBM read of q/k/v, one write of out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..attention import NEG_PENALTY
+
+
+def _shift_rows(x, d):
+    """y[i] = x[i+d] with zero fill, along axis 0 of a (T, D) block."""
+    if d == 0:
+        return x
+    t = x.shape[0]
+    if d > 0:
+        return jnp.pad(x[d:], ((0, d), (0, 0)))
+    return jnp.pad(x[:t + d], ((-d, 0), (0, 0)))
+
+
+def _band_kernel(w_overlap, q_ref, k_ref, v_ref, pen_ref, qvalid_ref, out_ref):
+    q = q_ref[0]          # (T, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    pen = pen_ref[0]      # (T, 1): 0 valid, NEG_PENALTY masked
+    t, d_head = q.shape
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+
+    scores = []
+    for d in range(-w_overlap, w_overlap + 1):
+        k_shift = _shift_rows(k, d)
+        s = jnp.sum(q * k_shift, axis=-1, keepdims=True)       # (T, 1)
+        p = _shift_rows(pen, d)
+        in_range = (row_idx + d >= 0) & (row_idx + d < t)
+        scores.append(jnp.where(in_range, s + p, -jnp.inf))
+
+    m = scores[0]
+    for s in scores[1:]:
+        m = jnp.maximum(m, s)
+    exps = [jnp.exp(s - m) for s in scores]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+
+    acc = jnp.zeros_like(q)
+    for idx, d in enumerate(range(-w_overlap, w_overlap + 1)):
+        acc = acc + (exps[idx] / denom) * _shift_rows(v, d)
+
+    # NaN guard: zero rows whose query-aligned kv slot is masked
+    acc = acc * qvalid_ref[0]
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("w_overlap", "interpret"))
+def band_attention_pallas(
+    q: jnp.ndarray,        # (B, H, T, D), pre-scaled q
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid: jnp.ndarray,  # (B, T) bool
+    w_overlap: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, t, d = q.shape
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+    pen = jnp.where(kv_valid, 0.0, NEG_PENALTY).astype(q.dtype)
+    pen = jnp.repeat(pen, h, axis=0)[..., None]                # (B*H, T, 1)
+    qvalid = jnp.repeat(kv_valid.astype(q.dtype), h, axis=0)[..., None]
+
+    kernel = functools.partial(_band_kernel, w_overlap)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, pen, qvalid)
+    return out.reshape(b, h, t, d)

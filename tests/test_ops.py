@@ -175,3 +175,22 @@ def test_full_attention_matches_torch(rng):
         "bhqk,bhkd->bhqd", att, torch.from_numpy(v) * torch.from_numpy(kv_valid)[:, None, :, None]
     ).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_band_attention_matches_xla(rng):
+    from audio_visual_deepfake_detection_tpu.ops.pallas.band_attention import (
+        band_attention_pallas)
+
+    b, h, t, d, w = 2, 4, 96, 32, 3
+    q = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    lens = np.array([96, 57])
+    kv_valid = np.arange(t)[None, :] < lens[:, None]
+
+    ref = np.asarray(attention.band_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_valid), w))
+    out = np.asarray(band_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_valid), w,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
