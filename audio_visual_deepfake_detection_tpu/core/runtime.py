@@ -16,6 +16,12 @@ def setup_jax(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # AVDD_FORCE_CPU=1 pins everything to host CPU (the axon TPU plugin
+    # ignores JAX_PLATFORMS, so an explicit escape hatch is needed)
+    if os.environ.get("AVDD_FORCE_CPU") == "1":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        return
+
     # fused Pallas banded attention on TPU (AVDD_USE_PALLAS=0 to disable)
     if jax.default_backend() == "tpu" and os.environ.get("AVDD_USE_PALLAS", "1") == "1":
         from ..ops import attention

@@ -72,9 +72,9 @@ def band_attention(
     Returns: (B, H, T, D) context.
     """
     if USE_PALLAS and rel_pe is None and time_weight is None:
-        from .pallas.band_attention import band_attention_pallas
+        from .pallas.band_attention import band_attention_fused
 
-        return band_attention_pallas(q, k, v, kv_valid, w_overlap)
+        return band_attention_fused(q, k, v, kv_valid, w_overlap)
 
     b, h, t, d_head = q.shape
     band = 2 * w_overlap + 1

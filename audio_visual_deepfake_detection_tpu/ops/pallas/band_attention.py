@@ -104,3 +104,37 @@ def band_attention_pallas(
         interpret=interpret,
     )(qf, kf, vf, pen, qvalid)
     return out.reshape(b, h, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def band_attention_fused(q, k, v, kv_valid, w_overlap):
+    """Pallas forward with an XLA-path backward (the kernel itself has no
+    autodiff rule; gradients come from differentiating the mathematically
+    identical banded formulation in ops.attention)."""
+    return band_attention_pallas(q, k, v, kv_valid, w_overlap)
+
+
+def _fused_fwd(q, k, v, kv_valid, w_overlap):
+    out = band_attention_pallas(q, k, v, kv_valid, w_overlap)
+    return out, (q, k, v, kv_valid)
+
+
+def _fused_bwd(w_overlap, residuals, g):
+    from .. import attention as attn_mod
+
+    q, k, v, kv_valid = residuals
+    # reference XLA implementation, bypassing the pallas dispatch flag
+    def ref_fn(q_, k_, v_):
+        saved = attn_mod.USE_PALLAS
+        attn_mod.USE_PALLAS = False
+        try:
+            return attn_mod.band_attention(q_, k_, v_, kv_valid, w_overlap)
+        finally:
+            attn_mod.USE_PALLAS = saved
+
+    _, vjp = jax.vjp(ref_fn, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+band_attention_fused.defvjp(_fused_fwd, _fused_bwd)

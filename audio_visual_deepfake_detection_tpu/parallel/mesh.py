@@ -20,8 +20,13 @@ DATA_AXIS = "data"
 
 
 def make_mesh(dp_size: int = -1, devices=None) -> Mesh:
+    import os
+
     if devices is None:
-        devices = jax.devices()
+        if os.environ.get("AVDD_FORCE_CPU") == "1":
+            devices = jax.devices("cpu")
+        else:
+            devices = jax.devices()
     if dp_size is None or dp_size <= 0:
         dp_size = len(devices)
     devices = np.asarray(devices[:dp_size])

@@ -63,7 +63,9 @@ def measure_ours() -> float:
 
     def run():
         out = infer_fn(params, feats, mask, fps, dur, stride, nframes)
-        jax.block_until_ready(out)
+        # force a host fetch: on the tunneled axon backend block_until_ready
+        # can return before execution completes
+        np.asarray(out[1])
         return out
 
     for _ in range(WARMUP):

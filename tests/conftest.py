@@ -15,6 +15,12 @@ import jax
 # default device to CPU explicitly — tests must not ride the TPU tunnel.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# persistent compile cache so repeated test runs skip CPU recompiles
+_cache = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

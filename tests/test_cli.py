@@ -1,0 +1,131 @@
+"""CLI entry-point smoke tests: train.py / inference.py / generate_results.py
+run end to end on a tiny synthetic dataset (subprocess, CPU)."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY_META = "/root/reference/tinydataset/metadata"
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",  # ignored by axon, but harmless
+    "AVDD_USE_PALLAS": "0",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    "AVDD_FORCE_CPU": "1",
+}
+
+
+def _tiny_rel_jsons():
+    out = []
+    for path in sorted(glob.glob(os.path.join(TINY_META, "*", "*", "*", "*.json"))):
+        out.append(os.path.relpath(path, TINY_META))
+    return out
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    rels = _tiny_rel_jsons()
+    import sys as _s
+    _s.path.insert(0, os.path.join(REPO, "tests"))
+    from audio_visual_deepfake_detection_tpu.data import metadata as md
+
+    shard_lines = []
+    for rel in rels:
+        meta = md.load_video_meta(TINY_META, rel)
+        rel_npy = rel.replace(".json", ".npy")
+        for sub, rows, dim in [
+            ("video", max(int(round(meta.fps * meta.duration)), 8), 8),
+            ("byola", int(np.ceil(12.5 * meta.duration)) + 2, 12),
+            ("emotion", int(np.ceil(50 * meta.duration)) + 2, 4),
+        ]:
+            path = root / sub / rel_npy
+            path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(path, rng.standard_normal((rows, dim)).astype(np.float32))
+        shard_lines.append(f"{rel.replace('.json', '.mp4')},{meta.duration}")
+    (root / "train.txt").write_text("\n".join(rels))
+    shard_dir = root / "test_folder"
+    shard_dir.mkdir()
+    (shard_dir / "deepfake_test_sub1.txt").write_text("\n".join(shard_lines[:6]))
+
+    cfg = {
+        "dataset_name": "deepfake_video_audioEmoBYOLA",
+        "train_split": ["train"], "val_split": ["train"], "test_split": ["test"],
+        "dataset": {
+            "video_feat_folder": str(root / "video"),
+            "audio_byola_feat_folder": str(root / "byola"),
+            "audio_emo_feat_folder": str(root / "emotion"),
+            "train_txt": str(root / "train.txt"),
+            "json_folder": TINY_META,
+            "test_folder": str(shard_dir),
+            "feat_stride": 1, "num_frames": 1, "downsample_rate": 0,
+            "max_seq_len": 96, "trunc_thresh": 0.5, "crop_ratio": [0.9, 1.0],
+            "video_input_dim": 8, "audio_input_dim": 16, "num_classes": 1,
+            "force_upsampling": True,
+        },
+        "model_name": "AVLocPointTransformerRecoveryNoNormNorecon",
+        "model": {
+            "backbone_type": "convHRLRFullResSelfAttTransformerRevised",
+            "fpn_type": "fpn", "backbone_arch": [1, 1, 2],
+            "n_mha_win_size": [5, 5, -1],
+            "regression_range": [[0, 4], [4, 8], [8, 10000]],
+            "n_head": 2, "embd_dim": 16, "fpn_dim": 16, "head_dim": 16,
+            "max_buffer_len_factor": 1.0, "use_abs_pe": True,
+        },
+        "opt": {"learning_rate": 0.001, "epochs": 1, "warmup_epochs": 0,
+                "warmup": False, "weight_decay": 0.05},
+        "loader": {"batch_size": 4, "num_workers": 2},
+        "train_cfg": {"init_loss_norm": 200, "clip_grad_l2norm": 1.0,
+                      "label_smoothing": 0.1, "droppath": 0.1, "loss_weight": 2.0},
+        "test_cfg": {"voting_thresh": 0.9, "pre_nms_topk": 2000,
+                     "max_seg_num": 20, "min_score": 0.001,
+                     "multiclass_nms": False, "nms_sigma": 0.75,
+                     "duration_thresh": 0.001},
+        "output_folder": str(root / "runs"),
+        "tpu": {"dp_size": 1},
+    }
+    cfg_path = root / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return root, cfg_path
+
+
+def _run(args, timeout=480):
+    proc = subprocess.run([sys.executable] + args, cwd=REPO, env=ENV,
+                          capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    return proc
+
+
+def test_train_and_infer_cli(workspace):
+    root, cfg_path = workspace
+    _run(["train.py", str(cfg_path), "--output", "smoke",
+          "--ckpt-iter-freq", "0", "-p", "2"])
+    runs = glob.glob(str(root / "runs" / "smoke_*"))
+    assert runs, "no run folder created"
+    run_dir = runs[0]
+    ckpts = glob.glob(os.path.join(run_dir, "epoch_*"))
+    assert ckpts, "no checkpoint written"
+    assert os.path.exists(os.path.join(run_dir, "config.txt"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+    # inference over shard 1 with the trained checkpoint
+    _run(["inference.py", str(cfg_path), "1", "--ckpt", run_dir,
+          "--batch-size", "4", "--flush-every", "4"])
+    out_dir = str(root / "runs" / "1")
+    assert glob.glob(os.path.join(out_dir, "data*.json"))
+
+    # merge shards into submission files
+    _run(["generate_results.py", str(root / "runs"), "--num-shards", "1"])
+    pred_json = json.load(open(root / "runs" / "prediction.json"))
+    assert len(pred_json) == 6
+    txt = (root / "runs" / "prediction.txt").read_text().splitlines()
+    assert len(txt) == 6
