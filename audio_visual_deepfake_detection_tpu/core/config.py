@@ -209,6 +209,7 @@ def arch_config_from(config: Dict) -> "ArchConfig":
         droppath=tc["droppath"],
         cls_prior_prob=tc["cls_prior_prob"],
         head_empty_cls=tuple(tc["head_empty_cls"]),
+        compute_dtype=config.get("tpu", {}).get("compute_dtype", "float32"),
     )
 
 

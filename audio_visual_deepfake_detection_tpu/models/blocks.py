@@ -50,9 +50,9 @@ class AffineDropPath(nn.Module):
             "scale",
             lambda key, shape, dtype: jnp.full(shape, self.init_scale, dtype),
             (x.shape[-1],),
-            x.dtype,
+            jnp.float32,
         )
-        y = x * scale
+        y = x * scale.astype(x.dtype)
         if not deterministic and self.drop_prob > 0.0:
             y = drop_path(y, self.make_rng("dropout"), self.drop_prob, deterministic=False)
         return y
@@ -69,9 +69,9 @@ class Scale(nn.Module):
             "scale",
             lambda key, shape, dtype: jnp.asarray(self.init_value, dtype),
             (),
-            x.dtype,
+            jnp.float32,
         )
-        return x * scale
+        return x * scale.astype(x.dtype)
 
 
 class ConvAttention(nn.Module):
@@ -144,14 +144,14 @@ class ConvAttention(nn.Module):
                     "rel_pe",
                     nn.initializers.truncated_normal(stddev=(2.0 / c) ** 0.5),
                     (self.n_head, self.window_size),
-                    q.dtype,
-                )
+                    jnp.float32,
+                ).astype(q.dtype)
             time_weight = None
             if self.use_time_weight:
                 time_weight = self.param(
                     "time_weighting", nn.initializers.ones,
-                    (self.n_head, self.window_size), q.dtype,
-                )
+                    (self.n_head, self.window_size), jnp.float32,
+                ).astype(q.dtype)
             out = band_attention(q, k, v, kv_mask, w, rel_pe, time_weight)
         else:
             out = full_attention(q, k, v, kv_mask)

@@ -69,6 +69,9 @@ class ArchConfig:
     droppath: float = 0.1
     cls_prior_prob: float = 0.01
     head_empty_cls: Tuple[int, ...] = ()
+    # 'float32' (parity default) or 'bfloat16' (MXU-native mixed precision:
+    # params/losses stay f32, activations run bf16, norms/softmax compute f32)
+    compute_dtype: str = "float32"
 
     @property
     def fpn_strides(self) -> Tuple[int, ...]:
@@ -102,6 +105,7 @@ class AVLocalizer(nn.Module):
         cfg = self.cfg
         det = not train
         outputs: Dict[str, Any] = {}
+        feats = feats.astype(jnp.dtype(cfg.compute_dtype))
 
         bb_kw = dict(
             n_in=cfg.input_dim, n_embd=cfg.embd_dim, n_embd_ks=cfg.embd_kernel_size,
@@ -167,9 +171,17 @@ class AVLocalizer(nn.Module):
                               with_ln=cfg.head_with_ln, name="reg_head")(
             fpn_feats, fpn_masks)
 
-        outputs["out_cls"] = out_cls            # list of (B, T_i, ncls)
-        outputs["out_offsets"] = out_offsets    # list of (B, T_i, 2)
+        # heads/losses/decode consume float32 regardless of compute dtype
+        outputs["out_cls"] = [o.astype(jnp.float32) for o in out_cls]
+        outputs["out_offsets"] = [o.astype(jnp.float32) for o in out_offsets]
         outputs["fpn_masks"] = fpn_masks        # list of (B, T_i) bool
+        if "cls_scores" in outputs:
+            outputs["cls_scores"] = outputs["cls_scores"].astype(jnp.float32)
+        if outputs.get("seg_scores") is not None:
+            outputs["seg_scores"] = outputs["seg_scores"].astype(jnp.float32)
+        if outputs.get("reco") is not None:
+            outputs["reco"] = outputs["reco"].astype(jnp.float32)
+            outputs["norm_inputs"] = outputs["norm_inputs"].astype(jnp.float32)
         return outputs
 
 

@@ -95,7 +95,7 @@ def band_attention(
 
     if rel_pe is not None:
         att = att + rel_pe[None, :, None, :]
-    att = jax.nn.softmax(att, axis=-1)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
     # NaN guard: zero rows whose query-aligned kv slot is masked
     att = jnp.where(kv_valid[:, None, :, None], att, 0.0)
     if time_weight is not None:
@@ -122,6 +122,6 @@ def full_attention(
     """
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     att = jnp.where(kv_valid[:, None, None, :], att, -jnp.inf)
-    att = jax.nn.softmax(att, axis=-1)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
     v = v * kv_valid[:, None, :, None].astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", att, v)

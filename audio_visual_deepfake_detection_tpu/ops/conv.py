@@ -56,19 +56,19 @@ class MaskedConv1D(nn.Module):
             "kernel",
             _torch_conv_kernel_init(c // self.groups, self.kernel_size),
             (self.kernel_size, c // self.groups, self.features),
-            x.dtype,
+            jnp.float32,
         )
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),
             window_strides=(self.stride,),
             padding=[(pad, pad)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
-            y = y + bias
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
 
         if self.stride > 1:
             out_mask = downsample_mask(mask, y.shape[1])
@@ -102,14 +102,14 @@ class MaskedConvTranspose1D(nn.Module):
             "kernel",
             _torch_conv_kernel_init(c, self.kernel_size),
             (self.kernel_size, c, self.features),
-            x.dtype,
+            jnp.float32,
         )
         # torch ConvTranspose via lhs-dilated conv: dilate input by stride,
         # pad with (k-1-pad) on the left and (k-1-pad+output_padding) on the
         # right, then correlate with the *flipped* kernel.
         y = jax.lax.conv_general_dilated(
             x,
-            jnp.flip(kernel, axis=0),
+            jnp.flip(kernel.astype(x.dtype), axis=0),
             window_strides=(1,),
             padding=[(self.kernel_size - 1 - pad,
                       self.kernel_size - 1 - pad + self.output_padding)],
@@ -117,8 +117,8 @@ class MaskedConvTranspose1D(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
-            y = y + bias
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
 
         out_len = y.shape[1]
         if out_len != t:
@@ -142,12 +142,12 @@ class Dense(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (x.shape[-1], self.features),
-            x.dtype,
+            jnp.float32,
         )
-        y = x @ kernel
+        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
-            y = y + bias
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
         return y
 
 

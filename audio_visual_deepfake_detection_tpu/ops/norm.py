@@ -14,16 +14,19 @@ import flax.linen as nn
 
 
 def channel_layer_norm(x: jnp.ndarray, weight=None, bias=None, eps: float = 1e-5):
-    """Normalize over the last (channel) axis with biased variance."""
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    res = x - mu
+    """Normalize over the last (channel) axis with biased variance.
+    Statistics are computed in float32 for bf16 inputs."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    res = xf - mu
     sigma = jnp.mean(res * res, axis=-1, keepdims=True)
     out = res * jax.lax.rsqrt(sigma + eps)
     if weight is not None:
         out = out * weight
     if bias is not None:
         out = out + bias
-    return out
+    return out.astype(dtype)
 
 
 class ChannelLayerNorm(nn.Module):
@@ -35,8 +38,8 @@ class ChannelLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         if self.affine:
-            weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), x.dtype)
-            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), x.dtype)
+            weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         else:
             weight = bias = None
         return channel_layer_norm(x, weight, bias, self.eps)
@@ -46,7 +49,9 @@ def instance_norm_time(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch ``InstanceNorm1d`` default (no affine): normalize each (batch,
     channel) series over the time axis with biased variance. Used by the
     DeepInterpolator / SegmentandCls conv stacks (blocks.py:1508,1532)."""
-    mu = jnp.mean(x, axis=-2, keepdims=True)
-    res = x - mu
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-2, keepdims=True)
+    res = xf - mu
     sigma = jnp.mean(res * res, axis=-2, keepdims=True)
-    return res * jax.lax.rsqrt(sigma + eps)
+    return (res * jax.lax.rsqrt(sigma + eps)).astype(dtype)

@@ -158,3 +158,29 @@ def test_decode_and_postprocess_runs(rng):
         v = valid[i]
         assert np.all(segs[i][v] >= 0)
         assert np.all(segs[i][v] <= float(dur[i]) + 1e-5)
+
+
+def test_bf16_compute_path(rng):
+    """bf16 activations with f32 params: outputs close to the f32 path."""
+    import dataclasses
+    import jax.tree_util as jtu
+
+    cfg32 = tiny_cfg()
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    b, t = 1, cfg32.max_seq_len
+    feats = jnp.asarray(rng.standard_normal((b, t, cfg32.input_dim), dtype=np.float32))
+    mask = jnp.ones((b, t), bool)
+
+    model32 = AVLocalizer(cfg32)
+    params = model32.init(jax.random.PRNGKey(0), feats, mask, train=False)
+    # all params stay f32 regardless of compute dtype
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params))
+
+    out32 = model32.apply(params, feats, mask, train=False)
+    out16 = AVLocalizer(cfg16).apply(params, feats, mask, train=False)
+    assert out16["out_cls"][0].dtype == jnp.float32  # heads re-cast to f32
+    a = np.concatenate([np.asarray(x).ravel() for x in out32["out_cls"]])
+    b_ = np.concatenate([np.asarray(x).ravel() for x in out16["out_cls"]])
+    # bf16 has ~3 decimal digits; logits should agree coarsely
+    assert np.median(np.abs(a - b_)) < 0.05
+    assert np.corrcoef(a, b_)[0, 1] > 0.99
