@@ -45,6 +45,27 @@ def build_proposal_json(
     return {"version": "ANET v1.3, Lavdf", "results": results, "external_data": {}}
 
 
+def evaluation_proposal(preds, gt_records, tiou_thre=None, max_avg_nr_proposal=100):
+    """AR@{10,20,50,100} summary (reference Evaluation/eval.py:62-84)."""
+    from .detection import average_recall_vs_nr_proposals
+
+    tious = tiou_thre if tiou_thre is not None else np.linspace(0.5, 0.95, 10)
+    gt = {"video-id": [], "t-start": [], "t-end": []}
+    for rec in gt_records:
+        if rec.get("n_fakes", 0) == 0 or rec.get("segments_time") is None:
+            continue
+        for seg in np.asarray(rec["segments_time"]).reshape(-1, 2):
+            gt["video-id"].append(rec["video_id"].strip())
+            gt["t-start"].append(float(seg[0]))
+            gt["t-end"].append(float(seg[1]))
+    gt = {k: np.asarray(v) for k, v in gt.items()}
+    recall, _, _ = average_recall_vs_nr_proposals(
+        gt, preds, tious, max_avg_nr_proposal)
+    ar = {n: float(np.mean(recall[:, n - 1])) for n in (10, 20, 50, 100)
+          if n <= recall.shape[1]}
+    return ar
+
+
 def run_evaluation(
     preds: Dict[str, np.ndarray],
     gt_records: Sequence[dict],

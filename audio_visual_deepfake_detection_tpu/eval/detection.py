@@ -160,43 +160,56 @@ def average_recall_vs_nr_proposals(
     tiou_thresholds: np.ndarray = np.linspace(0.5, 0.95, 10),
     max_avg_nr_proposals: int = 100,
 ):
-    """AR@AN (reference: Evaluation/eval_proposal.py): recall matrix
-    (tiou, proposal budget) where the budget is an *average* number of
-    proposals per video, allocated by score rank."""
-    vids = set(np.asarray(gt["video-id"]).tolist())
-    total_gt = len(gt["t-start"])
-    nvids = max(len(vids), 1)
-
-    budgets = np.arange(1, max_avg_nr_proposals + 1)
-    matched = np.zeros((len(tiou_thresholds), len(budgets)))
-
+    """AR@AN following Evaluation/eval_proposal.py:235-346: per-video proposal
+    budgets are a *ratio* of each video's retrieved proposals (so the average
+    across videos hits the requested budget), recall counts GTs matched by any
+    kept proposal. Returns (recall (T, N), avg_recall (N,),
+    proposals_per_video (N,))."""
     by_vid_gt: Dict[str, list] = {}
     for i, v in enumerate(np.asarray(gt["video-id"])):
-        by_vid_gt.setdefault(v, []).append(
-            [gt["t-start"][i], gt["t-end"][i]])
+        by_vid_gt.setdefault(v, []).append([gt["t-start"][i], gt["t-end"][i]])
     by_vid_prop: Dict[str, list] = {}
     order = np.argsort(np.asarray(proposals["score"]))[::-1]
+    vid_arr = np.asarray(proposals["video-id"])
     for i in order:
-        v = np.asarray(proposals["video-id"])[i]
-        by_vid_prop.setdefault(v, []).append(
+        by_vid_prop.setdefault(vid_arr[i], []).append(
             [proposals["t-start"][i], proposals["t-end"][i]])
 
-    for v, gts in by_vid_gt.items():
-        props = np.asarray(by_vid_prop.get(v, np.zeros((0, 2))), np.float64).reshape(-1, 2)
-        gts = np.asarray(gts, np.float64)
-        if len(props) == 0:
-            continue
-        # iou matrix gt x prop (props already score-ordered)
-        ious = np.stack([segment_iou(g, props) for g in gts])
-        for bi, k in enumerate(budgets):
-            sub = ious[:, :k]
-            for tidx, thr in enumerate(tiou_thresholds):
-                matched[tidx, bi] += float(np.sum(sub.max(axis=1) >= thr)) \
-                    if sub.size else 0.0
+    n_videos = max(len(by_vid_gt), 1)
+    total_props = max(len(proposals["score"]), 1)
+    ratio = max_avg_nr_proposals * float(n_videos) / total_props
 
-    recall = matched / max(total_gt, 1)
+    score_lst = []
+    total_kept = 0
+    for v, gts in by_vid_gt.items():
+        gts = np.asarray(gts, np.float64)
+        props = np.asarray(by_vid_prop.get(v, []), np.float64).reshape(-1, 2)
+        if len(props) == 0:
+            score_lst.append(np.zeros((len(gts), 1)))
+            continue
+        keep = min(int(len(props) * ratio), len(props))
+        total_kept += keep
+        props = props[:keep]
+        score_lst.append(np.stack([segment_iou(g, props) for g in gts]))
+
+    total_kept = max(total_kept, 1)
+    pcn_lst = (np.arange(1, max_avg_nr_proposals + 1) / float(max_avg_nr_proposals)
+               * (max_avg_nr_proposals * float(n_videos) / total_kept))
+    positives = np.asarray([s.shape[0] for s in score_lst], np.float64)
+    recall = np.empty((len(tiou_thresholds), len(pcn_lst)))
+    matches = np.empty((len(score_lst), len(pcn_lst)))
+    for ridx, thr in enumerate(tiou_thresholds):
+        for i, score in enumerate(score_lst):
+            tp = score >= thr
+            pcn_props = np.minimum((score.shape[1] * pcn_lst).astype(np.int64),
+                                   score.shape[1])
+            for j, k in enumerate(pcn_props):
+                matches[i, j] = np.count_nonzero(tp[:, :k].sum(axis=1))
+        recall[ridx, :] = matches.sum(axis=0) / positives.sum()
+
     avg_recall = recall.mean(axis=0)
-    return recall, avg_recall, budgets
+    proposals_per_video = pcn_lst * (float(total_kept) / n_videos)
+    return recall, avg_recall, proposals_per_video
 
 
 def remove_duplicate_annotations(ants: Sequence[dict], tol: float = 1e-3) -> List[dict]:
