@@ -81,8 +81,10 @@ def main(args):
     train_step = jax.jit(build_train_step(cfg, config["train_cfg"]), donate_argnums=0)
     logger = MetricsLogger(out_folder)
 
-    max_epochs = config["opt"]["epochs"] + (
-        config["opt"]["warmup_epochs"] if config["opt"]["warmup"] else 0)
+    max_epochs = config["opt"].get(
+        "early_stop_epochs",
+        config["opt"]["epochs"] + (config["opt"]["warmup_epochs"]
+                                   if config["opt"]["warmup"] else 0))
     for epoch in range(start_epoch, max_epochs):
         state = train_one_epoch(
             loader, state, train_step, epoch, mesh=mesh, schedule=schedule,
