@@ -255,9 +255,11 @@ def compute_losses(
     variant: str = "av_recovery_norecon",
     frame_gt: Optional[jnp.ndarray] = None,  # (B, T) for the THE variant
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-    """Returns (loss dict incl. final_loss, num_pos). The EMA normalizer update
-    (momentum 0.9, av_fd_no_recon.py:644-648) happens in the train step with
-    the returned num_pos."""
+    """Returns (loss dict incl. final_loss, num_pos). NOTE the reference
+    updates the EMA loss normalizer BEFORE dividing (av_fd_no_recon.py:644-667)
+    — so the losses here are normalized by the *updated* value; the train step
+    must store ``update_loss_normalizer(loss_normalizer, num_pos)`` as the new
+    state (identical math)."""
     valid_mask = jnp.concatenate(outputs["fpn_masks"], axis=1)       # (B, P)
     logits = jnp.concatenate(outputs["out_cls"], axis=1)             # (B, P, C)
     pred_off = jnp.concatenate(outputs["out_offsets"], axis=1)       # (B, P, 2)
@@ -265,13 +267,14 @@ def compute_losses(
     include = valid_mask & has_gt[:, None]                            # (B, P)
     pos_mask = (jnp.sum(gt_cls, axis=-1) > 0) & include               # (B, P)
     num_pos = jnp.sum(pos_mask)
+    normalizer = update_loss_normalizer(loss_normalizer, num_pos)
 
     gt_target = gt_cls * (1.0 - label_smoothing) + label_smoothing / (num_classes + 1)
     cls_elem = sigmoid_focal_loss(logits, gt_target)                  # (B, P, C)
-    cls_loss = jnp.sum(cls_elem * include[..., None]) / loss_normalizer
+    cls_loss = jnp.sum(cls_elem * include[..., None]) / normalizer
 
     reg_elem = ctr_diou_loss_1d(pred_off, gt_offsets)                 # (B, P)
-    reg_loss = jnp.sum(reg_elem * pos_mask) / loss_normalizer
+    reg_loss = jnp.sum(reg_elem * pos_mask) / normalizer
 
     losses = {"cls_loss": cls_loss, "reg_loss": reg_loss}
     final = cls_loss + reg_loss * loss_weight
@@ -295,7 +298,7 @@ def compute_losses(
         # frame-level focal loss: computed but EXCLUDED from final_loss,
         # matching the reference (av_fd_no_recon2.py:718-734)
         seg_elem = sigmoid_focal_loss(outputs["seg_scores"], frame_gt)
-        losses["reco_seg_loss"] = jnp.sum(seg_elem) / (loss_normalizer * 10.0)
+        losses["reco_seg_loss"] = jnp.sum(seg_elem) / (normalizer * 10.0)
 
     losses["final_loss"] = final
     return losses, num_pos

@@ -105,9 +105,9 @@ def test_train_step_end_to_end(rng):
     s = sa
     first = last = None
     for _ in range(12):
-        norm_before = float(s.loss_normalizer)
         s, losses = step(s, batch)
-        raw = float(losses["cls_loss"]) * norm_before
+        # losses are divided by the post-update normalizer == new state value
+        raw = float(losses["cls_loss"]) * float(s.loss_normalizer)
         if first is None:
             first = raw
         last = raw
