@@ -12,7 +12,7 @@ Both share the VOC-2011 interpolated AP over greedy score-ordered matching.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -29,7 +29,7 @@ its saved config; ``convert_emotion2vec_torch`` maps fairseq weights in.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

@@ -16,10 +16,9 @@ MXU; no FFT op needed, power + mel + log fuse into the epilogue.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 SAMPLE_RATE = 16000

@@ -21,8 +21,7 @@ is not shipped); structure and shapes follow the sources above.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax

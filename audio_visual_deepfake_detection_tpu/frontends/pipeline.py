@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax
@@ -22,7 +22,6 @@ from ..preprocess.wav import load_wav
 from .byola import AudioNTT2020, byola_features
 from .emotion2vec import Emotion2Vec, Emotion2VecConfig
 from .video import C3DVideoEncoder, bilinear_resize_video, chunk_video
-from .mel import byola_log_mel
 
 
 @dataclasses.dataclass

@@ -15,13 +15,11 @@ vectors. Inference is no longer locked to batch_size=1 like the reference
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from ..models.points import generate_points
 from ..ops.nms import batched_nms
 
 

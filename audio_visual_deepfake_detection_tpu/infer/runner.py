@@ -13,11 +13,10 @@ Key TPU changes vs the reference:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ pyramid (T, T/2, ..., T/32).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

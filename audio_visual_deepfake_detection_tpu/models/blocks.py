@@ -17,7 +17,7 @@ Reference quirks preserved on purpose:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ im2col-style matmul, so the channel dimension stays on the 128-lane axis.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -15,7 +15,6 @@ A bit-parity C++ oracle for tests lives in ``runtime/csrc/nms.cpp``.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

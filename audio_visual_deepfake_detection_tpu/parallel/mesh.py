@@ -10,7 +10,7 @@ over DCN with per-host data loading — no NCCL/MPI analogue to port.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -8,7 +8,6 @@ Used as (a) a bit-parity oracle for the on-device implementation in tests,
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Tuple

@@ -12,7 +12,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..parallel.mesh import pad_batch_to, shard_batch
 from .checkpoint import save_checkpoint
