@@ -8,4 +8,5 @@ from .detection import (  # noqa: F401
     postprocess_results_with_cls,
     remove_duplicate_annotations,
     segment_iou,
+    topkx_recall,
 )

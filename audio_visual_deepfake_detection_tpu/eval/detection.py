@@ -130,21 +130,27 @@ class ANETdetection:
             "label": np.asarray(lab, np.int64),
         }
 
-    def evaluate(self, preds: Dict[str, np.ndarray], verbose: bool = False):
+    def evaluate(self, preds: Dict[str, np.ndarray], verbose: bool = False,
+                 top_k: Sequence[int] = ()):
         """preds: {'video-id','t-start','t-end','label','score'} arrays.
-        Returns (ap (T, C), mAP per tIoU, average mAP)."""
+        Returns (ap (T, C), mAP per tIoU, average mAP). Pass ``top_k``
+        (e.g. (1, 5)) to also populate ``self.recall`` with top-kx recall
+        (the EPIC-style evaluator's extra metric, metrics.py:179-253)."""
         labels = np.asarray(preds.get("label", np.zeros(len(preds["score"]))))
         ap = np.zeros((len(self.tiou_thresholds), self.num_classes))
+        self.recall = (np.zeros((len(self.tiou_thresholds), len(top_k),
+                                 self.num_classes)) if top_k else None)
         for c in range(self.num_classes):
             sel = labels == c
             gt_sel = self.gt["label"] == c
-            ap[:, c] = average_precision(
-                {k: np.asarray(self.gt[k])[gt_sel] for k in
-                 ("video-id", "t-start", "t-end")},
-                {k: np.asarray(preds[k])[sel] for k in
-                 ("video-id", "t-start", "t-end", "score")},
-                self.tiou_thresholds,
-            )
+            gt_c = {k: np.asarray(self.gt[k])[gt_sel] for k in
+                    ("video-id", "t-start", "t-end")}
+            pred_c = {k: np.asarray(preds[k])[sel] for k in
+                      ("video-id", "t-start", "t-end", "score")}
+            ap[:, c] = average_precision(gt_c, pred_c, self.tiou_thresholds)
+            if top_k:
+                self.recall[..., c] = topkx_recall(
+                    gt_c, pred_c, self.tiou_thresholds, top_k)
         mAP = ap.mean(axis=1)
         avg = float(mAP.mean())
         if verbose:
@@ -152,6 +158,50 @@ class ANETdetection:
                            for t, m in zip(self.tiou_thresholds, mAP))
             print(f"Detection: average-mAP {avg * 100:.3f} {per}")
         return ap, mAP, avg
+
+
+def topkx_recall(
+    gt: Dict[str, np.ndarray],
+    pred: Dict[str, np.ndarray],
+    tiou_thresholds: np.ndarray,
+    top_k: Sequence[int] = (1, 5),
+) -> np.ndarray:
+    """Top-kx recall (libs/utils/metrics.py:338-401): per video keep the
+    k * n_gt highest-scoring predictions; a GT counts as recalled if any kept
+    prediction reaches the tIoU threshold. Returns (T, K)."""
+    tp = np.zeros((len(tiou_thresholds), len(top_k)))
+    if len(pred["score"]) == 0 or len(gt["t-start"]) == 0:
+        return tp
+
+    gt_by_vid: Dict[str, list] = {}
+    for i, v in enumerate(np.asarray(gt["video-id"])):
+        gt_by_vid.setdefault(v, []).append(i)
+    pred_by_vid: Dict[str, list] = {}
+    for i, v in enumerate(np.asarray(pred["video-id"])):
+        pred_by_vid.setdefault(v, []).append(i)
+
+    g_seg = np.stack([np.asarray(gt["t-start"]), np.asarray(gt["t-end"])], axis=1)
+    p_seg = np.stack([np.asarray(pred["t-start"]), np.asarray(pred["t-end"])], axis=1)
+    scores = np.asarray(pred["score"])
+
+    n_gts = 0
+    for vid, g_idx in gt_by_vid.items():
+        n_gts += len(g_idx)
+        p_idx = pred_by_vid.get(vid)
+        if not p_idx:
+            continue
+        p_idx = np.asarray(p_idx)
+        order = np.argsort(scores[p_idx])[::-1]
+        kept = p_idx[order][: max(top_k) * len(g_idx)]
+        # (n_kept, n_gt) IoU matrix
+        ious = np.stack([segment_iou(p_seg[j], g_seg[np.asarray(g_idx)])
+                         for j in kept]) if len(kept) else np.zeros((0, len(g_idx)))
+        for tidx, thr in enumerate(tiou_thresholds):
+            for kidx, k in enumerate(top_k):
+                sub = ious[: k * len(g_idx)]
+                if sub.size:
+                    tp[tidx, kidx] += ((sub >= thr).sum(axis=0) > 0).sum()
+    return tp / max(n_gts, 1)
 
 
 def average_recall_vs_nr_proposals(
