@@ -10,3 +10,4 @@ from .detection import (  # noqa: F401
     segment_iou,
     topkx_recall,
 )
+from .io import load_gt_seg_from_json, load_pred_seg_from_json  # noqa: F401

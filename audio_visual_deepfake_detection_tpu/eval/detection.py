@@ -38,16 +38,45 @@ def interpolated_prec_rec(prec: np.ndarray, rec: np.ndarray) -> float:
     return float(np.sum((mrec[idx] - mrec[idx - 1]) * mprec[idx]))
 
 
+def _match_one_video(args):
+    """Greedy TP/FP match flags for one video's predictions (already in
+    descending score order). Matching only interacts with other predictions of
+    the SAME video through the GT locks, so videos are independent units —
+    this is what makes the evaluator parallelizable at 343k-video scale
+    (the reference parallelizes per class via joblib, eval_detection.py)."""
+    p_seg, g_seg, tious_thr = args
+    npred = len(p_seg)
+    tp = np.zeros((len(tious_thr), npred), dtype=np.float64)
+    if len(g_seg) == 0:
+        return tp
+    lock = -np.ones((len(tious_thr), len(g_seg)))
+    for idx in range(npred):
+        tious = segment_iou(p_seg[idx], g_seg)
+        srt = np.argsort(tious)[::-1]
+        for tidx, thr in enumerate(tious_thr):
+            for j in srt:
+                if tious[j] < thr:
+                    break
+                if lock[tidx, j] >= 0:
+                    continue
+                tp[tidx, idx] = 1
+                lock[tidx, j] = idx
+                break
+    return tp
+
+
 def average_precision(
     gt: Dict[str, np.ndarray],
     pred: Dict[str, np.ndarray],
     tiou_thresholds: np.ndarray,
+    n_jobs: int = 0,
 ) -> np.ndarray:
     """AP per tIoU threshold for one class.
 
     gt: {'video-id': array str, 't-start', 't-end'}
     pred: same plus 'score'. Matching: predictions in descending score order,
     each grabs the highest-IoU unclaimed GT above the threshold.
+    ``n_jobs > 1`` parallelizes the per-video matching over processes.
     """
     ap = np.zeros(len(tiou_thresholds))
     npred = len(pred["score"])
@@ -64,32 +93,31 @@ def average_precision(
     g_seg = np.stack([np.asarray(gt["t-start"]), np.asarray(gt["t-end"])], axis=1)
     for i, v in enumerate(np.asarray(gt["video-id"])):
         gt_by_vid.setdefault(v, []).append(i)
+    pred_by_vid: Dict[str, List[int]] = {}
+    for i, v in enumerate(p_vid):
+        pred_by_vid.setdefault(v, []).append(i)
+
+    tasks = []
+    index_map = []
+    for vid, p_idx in pred_by_vid.items():
+        g_idx = gt_by_vid.get(vid, [])
+        tasks.append((p_seg[np.asarray(p_idx)],
+                      g_seg[np.asarray(g_idx)] if g_idx else np.zeros((0, 2)),
+                      np.asarray(tiou_thresholds)))
+        index_map.append(np.asarray(p_idx))
+
+    if n_jobs and n_jobs > 1 and len(tasks) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(n_jobs) as pool:
+            results = list(pool.map(_match_one_video, tasks, chunksize=256))
+    else:
+        results = [_match_one_video(t) for t in tasks]
 
     tp = np.zeros((len(tiou_thresholds), npred))
-    fp = np.zeros((len(tiou_thresholds), npred))
-    lock = -np.ones((len(tiou_thresholds), npos))
-
-    for idx in range(npred):
-        gt_idx = gt_by_vid.get(p_vid[idx])
-        if not gt_idx:
-            fp[:, idx] = 1
-            continue
-        gt_idx = np.asarray(gt_idx)
-        tious = segment_iou(p_seg[idx], g_seg[gt_idx])
-        srt = np.argsort(tious)[::-1]
-        for tidx, thr in enumerate(tiou_thresholds):
-            matched = False
-            for j in srt:
-                if tious[j] < thr:
-                    break
-                if lock[tidx, gt_idx[j]] >= 0:
-                    continue
-                tp[tidx, idx] = 1
-                lock[tidx, gt_idx[j]] = idx
-                matched = True
-                break
-            if not matched:
-                fp[tidx, idx] = 1
+    for p_idx, flags in zip(index_map, results):
+        tp[:, p_idx] = flags
+    fp = 1.0 - tp
 
     tp_cs = np.cumsum(tp, axis=1)
     fp_cs = np.cumsum(fp, axis=1)

@@ -143,3 +143,28 @@ def test_submission_files(tmp_path):
     blob = json.load(open(out))
     assert blob["b.mp4"] == [[0.95, 1.0, 2.0]]       # 0.1 filtered at 0.2
     assert blob["a.mp4"] == [[0, 0, 0]]               # empty sentinel
+
+
+def test_json_io_round_trip(tmp_path):
+    from audio_visual_deepfake_detection_tpu.eval import (
+        load_gt_seg_from_json, load_pred_seg_from_json)
+
+    gt_blob = {"database": {
+        "v1.mp4": {"subset": "test", "annotations": [
+            {"segment": [1.0, 2.0], "label_id": 0},
+            {"segment": [1.0, 2.0], "label_id": 0},  # duplicate -> dropped
+        ]},
+        "v2.mp4": {"subset": "train", "annotations": [
+            {"segment": [0.5, 1.5], "label_id": 0}]},
+    }}
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt_blob))
+    gt = load_gt_seg_from_json(str(gt_path), split="test")
+    assert len(gt["t-start"]) == 1 and gt["video-id"][0] == "v1.mp4"
+
+    pred_blob = {"results": {"v1.mp4": [
+        {"segment": [1.0, 2.1], "label": "Fake", "score": 0.9}]}}
+    pred_path = tmp_path / "pred.json"
+    pred_path.write_text(json.dumps(pred_blob))
+    pred = load_pred_seg_from_json(str(pred_path))
+    assert len(pred["score"]) == 1 and pred["score"][0] == 0.9

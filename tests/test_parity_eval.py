@@ -93,3 +93,11 @@ def test_topkx_recall_matches_reference(seed):
                             "t-end": pred["t-end"], "score": pred["score"]})
     ref = metrics.compute_topkx_recall_detection(gt_df, pred_df, tious, (1, 5))
     np.testing.assert_allclose(ours, np.asarray(ref), atol=1e-9)
+
+
+def test_parallel_ap_equals_serial():
+    rng = np.random.default_rng(9)
+    gt, pred = _random_tables(rng, n_videos=20, n_pred=200)
+    a = average_precision(gt, pred, CHALLENGE_TIOUS, n_jobs=0)
+    b = average_precision(gt, pred, CHALLENGE_TIOUS, n_jobs=4)
+    np.testing.assert_allclose(a, b, atol=0)
