@@ -158,3 +158,22 @@ def test_error_item_fallback(feature_root):
     finally:
         with open(bad, "wb") as f:
             f.write(backup)
+
+
+def test_other_inference_dataset_variants(feature_root, tmp_path):
+    """deepfake_video_audio_inference / *_BYOLA_inference stream selection."""
+    rels = _tiny_rel_jsons()[:2]
+    lines = []
+    for rel in rels:
+        meta = md.load_video_meta(TINY_META, rel)
+        lines.append(f"{rel.replace('.json', '.mp4')},{meta.duration}")
+    shard_dir = tmp_path / "test_folder"
+    shard_dir.mkdir()
+    (shard_dir / "deepfake_test_sub1.txt").write_text("\n".join(lines))
+    cfg = dataset_cfg(feature_root)
+    cfg["test_folder"] = str(shard_dir)
+
+    ds = DeepfakeInferenceDataset("deepfake_video_audio_inference", ["test"], 1, cfg)
+    assert ds[0]["feats"].shape == (768, 256 + 768)   # video + emotion
+    ds = DeepfakeInferenceDataset("deepfake_video_audioBYOLA_inference", ["test"], 1, cfg)
+    assert ds[0]["feats"].shape == (768, 256 + 2048)  # video + byola

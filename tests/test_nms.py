@@ -77,3 +77,32 @@ def test_batched_nms_sorted_and_capped(rng):
     sc = np.asarray(out_scores)[np.asarray(out_valid)]
     assert len(sc) <= 100
     assert np.all(np.diff(sc) <= 1e-6)
+
+
+def test_multiclass_nms_matches_per_class_host(rng):
+    """Multiclass path == host soft-NMS run independently per class."""
+    segs, scores = _random_candidates(rng, n=80)
+    cls_idxs = rng.integers(0, 3, 80).astype(np.int32)
+    iou_t, sigma, min_score, max_out = 0.1, 0.75, 0.2, 10
+
+    o_segs, o_scores, o_cls, o_valid = dev_nms.batched_nms(
+        jnp.asarray(segs), jnp.asarray(scores), jnp.asarray(cls_idxs),
+        jnp.ones(80, bool), num_classes=3, iou_threshold=iou_t,
+        min_score=min_score, max_seg_num=max_out, use_soft_nms=True,
+        multiclass=True, sigma=sigma, voting_thresh=0.9)
+    o_segs, o_scores, o_cls, o_valid = map(np.asarray,
+                                           (o_segs, o_scores, o_cls, o_valid))
+
+    expect = []
+    for c in range(3):
+        sel = cls_idxs == c
+        h_segs, h_scores, _ = host_softnms(
+            segs[sel], scores[sel], iou_t, sigma, min_score, 2, max_out)
+        expect.extend((s, sc, c) for s, sc in zip(h_segs, h_scores))
+    expect.sort(key=lambda x: -x[1])
+    expect = expect[:max_out]
+
+    k = int(o_valid.sum())
+    assert k == len(expect)
+    np.testing.assert_allclose(o_scores[:k], [e[1] for e in expect], atol=1e-5)
+    np.testing.assert_array_equal(o_cls[:k], [e[2] for e in expect])
