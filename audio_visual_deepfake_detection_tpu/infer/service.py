@@ -1,0 +1,127 @@
+"""Serving wrapper: dynamic-batching localizer service.
+
+The reference has no serving story (343k test videos went through a
+batch-size-1 script across 7 manual shards). For production deployment this
+wraps the jit inference function with a request queue + background batcher:
+callers submit single videos, the worker coalesces up to ``batch_size``
+requests (waiting at most ``max_wait_ms`` for stragglers), pads the batch to
+the compiled shape, and resolves per-request futures with the final
+detections. One compiled program serves every request shape.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..models.meta_arch import ArchConfig
+from .decode import TestConfig
+from .runner import build_inference_fn
+
+
+@dataclass
+class _Request:
+    feats: np.ndarray         # (T, C)
+    mask: np.ndarray          # (T,)
+    fps: float
+    duration: float
+    feat_stride: float
+    feat_num_frames: float
+    future: Future
+
+
+@dataclass
+class Detections:
+    segments: np.ndarray      # (K, 2) seconds
+    scores: np.ndarray        # (K,)
+    labels: np.ndarray        # (K,)
+    video_cls: float          # video-level logit
+
+
+class LocalizerService:
+    def __init__(self, cfg: ArchConfig, test_cfg: TestConfig, params,
+                 batch_size: int = 16, max_wait_ms: float = 5.0):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self.params = params
+        self._infer_fn = build_inference_fn(cfg, test_cfg)
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, feats: np.ndarray, fps: float, duration: float,
+               feat_stride: float, feat_num_frames: Optional[float] = None,
+               mask: Optional[np.ndarray] = None) -> Future:
+        """Queue one video's (T, C) features; returns a Future[Detections]."""
+        t = self.cfg.max_seq_len
+        assert feats.shape[0] <= t, "sequence longer than max_seq_len"
+        if mask is None:
+            mask = np.arange(t) < feats.shape[0]
+        if feats.shape[0] < t:
+            feats = np.concatenate(
+                [feats, np.zeros((t - feats.shape[0],) + feats.shape[1:],
+                                 feats.dtype)])
+        fut: Future = Future()
+        self._queue.put(_Request(feats, mask, fps, duration, feat_stride,
+                                 feat_num_frames or feat_stride, fut))
+        return fut
+
+    def localize(self, *args, **kwargs) -> Detections:
+        return self.submit(*args, **kwargs).result()
+
+    def _worker(self):
+        while True:
+            req = self._queue.get()
+            if req is None:
+                return
+            batch: List[_Request] = [req]
+            while len(batch) < self.batch_size:
+                try:
+                    nxt = self._queue.get(timeout=self.max_wait)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch: List[_Request]):
+        b = self.batch_size
+        n = len(batch)
+        t = self.cfg.max_seq_len
+        c = self.cfg.input_dim
+        feats = np.zeros((b, t, c), np.float32)
+        mask = np.zeros((b, t), bool)
+        fps = np.ones((b,), np.float32)
+        dur = np.ones((b,), np.float32)
+        stride = np.ones((b,), np.float32)
+        nframes = np.ones((b,), np.float32)
+        for i, r in enumerate(batch):
+            feats[i], mask[i] = r.feats, r.mask
+            fps[i], dur[i] = r.fps, r.duration
+            stride[i], nframes[i] = r.feat_stride, r.feat_num_frames
+        try:
+            segs, scores, cls_idxs, valid, video_cls = self._infer_fn(
+                self.params, feats, mask, fps, dur, stride, nframes)
+            segs, scores, cls_idxs, valid, video_cls = map(
+                np.asarray, (segs, scores, cls_idxs, valid, video_cls))
+            for i, r in enumerate(batch[:n]):
+                k = valid[i]
+                r.future.set_result(Detections(
+                    segments=segs[i][k], scores=scores[i][k],
+                    labels=cls_idxs[i][k], video_cls=float(video_cls[i, 0])))
+        except Exception as e:  # propagate failures to every waiter
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def stop(self):
+        self._queue.put(None)
+        self._thread.join(timeout=30)

@@ -1,0 +1,56 @@
+"""Dynamic-batching localizer service: results match the direct batched call."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_visual_deepfake_detection_tpu.infer import TestConfig
+from audio_visual_deepfake_detection_tpu.infer.runner import build_inference_fn
+from audio_visual_deepfake_detection_tpu.infer.service import LocalizerService
+from audio_visual_deepfake_detection_tpu.models import ArchConfig
+from audio_visual_deepfake_detection_tpu.train.state import init_model
+
+
+def test_service_matches_direct_call(rng):
+    cfg = ArchConfig(
+        variant="av_recovery_norecon", input_dim=24, num_classes=1,
+        max_seq_len=96, embd_dim=32, fpn_dim=32, head_dim=32, n_head=2,
+        arch=(1, 1, 2), mha_win_size=(5, 5, -1),
+        regression_range=((0, 4), (4, 8), (8, 10000)), droppath=0.1,
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.001, pre_nms_topk=2000, min_score=0.001,
+                      max_seg_num=10, nms_method="soft", nms_sigma=0.75,
+                      duration_thresh=0.001, multiclass_nms=False,
+                      voting_thresh=0.9)
+    params, _ = init_model(cfg, 4, 0)
+
+    n = 6
+    feats = [rng.standard_normal((96, 24)).astype(np.float32) for _ in range(n)]
+    metas = [(25.0, 3.8, 0.3) for _ in range(n)]
+
+    service = LocalizerService(cfg, tcfg, params, batch_size=4, max_wait_ms=20)
+    futures = [service.submit(f, fps, dur, stride)
+               for f, (fps, dur, stride) in zip(feats, metas)]
+    results = [f.result(timeout=300) for f in futures]
+    service.stop()
+
+    # direct batched reference (shape 4, padded)
+    infer_fn = build_inference_fn(cfg, tcfg)
+    direct = []
+    for start in range(0, n, 4):
+        chunk = feats[start:start + 4]
+        b = 4
+        fb = np.zeros((b, 96, 24), np.float32)
+        for i, f in enumerate(chunk):
+            fb[i] = f
+        segs, scores, cls_idxs, valid, video_cls = map(np.asarray, infer_fn(
+            params, jnp.asarray(fb), jnp.ones((b, 96), bool),
+            jnp.full((b,), 25.0), jnp.full((b,), 3.8),
+            jnp.full((b,), 0.3), jnp.full((b,), 0.3)))
+        for i in range(len(chunk)):
+            k = valid[i]
+            direct.append((segs[i][k], scores[i][k], float(video_cls[i, 0])))
+
+    for res, (d_segs, d_scores, d_cls) in zip(results, direct):
+        np.testing.assert_allclose(res.segments, d_segs, atol=1e-5)
+        np.testing.assert_allclose(res.scores, d_scores, atol=1e-5)
+        np.testing.assert_allclose(res.video_cls, d_cls, atol=1e-5)
