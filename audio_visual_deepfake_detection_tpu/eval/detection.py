@@ -139,9 +139,10 @@ class ANETdetection:
 
     def __init__(self, gt_records: Sequence[dict],
                  tiou_thresholds: np.ndarray = CHALLENGE_TIOUS,
-                 num_classes: int = 1):
+                 num_classes: int = 1, n_jobs: int = 0):
         self.tiou_thresholds = np.asarray(tiou_thresholds, dtype=np.float64)
         self.num_classes = num_classes
+        self.n_jobs = n_jobs
         vids, ts, te, lab = [], [], [], []
         for rec in gt_records:
             if rec.get("n_fakes", 0) == 0 or rec.get("segments_time") is None:
@@ -175,7 +176,8 @@ class ANETdetection:
                     ("video-id", "t-start", "t-end")}
             pred_c = {k: np.asarray(preds[k])[sel] for k in
                       ("video-id", "t-start", "t-end", "score")}
-            ap[:, c] = average_precision(gt_c, pred_c, self.tiou_thresholds)
+            ap[:, c] = average_precision(gt_c, pred_c, self.tiou_thresholds,
+                                         n_jobs=self.n_jobs)
             if top_k:
                 self.recall[..., c] = topkx_recall(
                     gt_c, pred_c, self.tiou_thresholds, top_k)
