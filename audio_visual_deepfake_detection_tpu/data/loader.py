@@ -29,7 +29,13 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        shard_rank: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_rank``/``num_shards``: multi-host data sharding — every
+        host draws the SAME seeded epoch permutation and keeps its strided
+        slice, so the global batch is a disjoint cover (the reference's
+        manual shard txt files, generalized)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -38,23 +44,31 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_rank = shard_rank
+        self.num_shards = max(1, num_shards)
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
+    def _shard_order(self):
+        order = np.arange(len(self.dataset))
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_rank::self.num_shards]
+        return order
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._shard_order())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self):
-        n = len(self.dataset)
-        order = np.arange(n)
-        rng = np.random.default_rng(self.seed + self._epoch)
-        if self.shuffle:
-            rng.shuffle(order)
+        order = self._shard_order()
+        n = len(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for i in range(0, end, self.batch_size):
             yield order[i:i + self.batch_size]

@@ -177,3 +177,23 @@ def test_other_inference_dataset_variants(feature_root, tmp_path):
     assert ds[0]["feats"].shape == (768, 256 + 768)   # video + emotion
     ds = DeepfakeInferenceDataset("deepfake_video_audioBYOLA_inference", ["test"], 1, cfg)
     assert ds[0]["feats"].shape == (768, 256 + 2048)  # video + byola
+
+
+def test_loader_multihost_sharding(feature_root):
+    """Two shard ranks cover the dataset disjointly with the same seed."""
+    ds = DeepfakeDataset("deepfake_video_audioEmoBYOLA", True, ["train"],
+                         dataset_cfg(feature_root))
+
+    def collate(samples):
+        return collate_batch(samples, 768, max_gt=8)
+
+    seen = []
+    for rank in (0, 1):
+        loader = DataLoader(ds, batch_size=2, collate=collate, shuffle=True,
+                            num_workers=2, seed=5, shard_rank=rank, num_shards=2)
+        ids = []
+        for b in loader:
+            ids.extend(b["video_ids"])
+        seen.append(set(ids))
+    assert seen[0].isdisjoint(seen[1])
+    assert len(seen[0] | seen[1]) == len(ds)
