@@ -2,6 +2,7 @@
 through the full decode + NMS + evaluator chain (AP -> 1.0)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,8 +21,12 @@ OPT_CFG = {
 }
 
 
-def test_overfit_recovers_segments(rng):
-    cfg = tiny_cfg()
+import dataclasses
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_overfit_recovers_segments(rng, dtype):
+    cfg = dataclasses.replace(tiny_cfg(), compute_dtype=dtype)
     b, t = 2, cfg.max_seq_len
     feats = rng.standard_normal((b, t, cfg.input_dim)).astype(np.float32)
     # distinct GT windows per sample (feature-grid coords)
