@@ -51,8 +51,15 @@ def soft_nms(
     n = segs.shape[0]
     scores = jnp.where(valid, scores, -1.0)
 
-    def body(s, carry):
-        cur_scores, alive, out_segs, out_scores, out_valid = carry
+    def cond(carry):
+        s, _, alive, *_ = carry
+        # early exit once no candidate survives — data-dependent trip count
+        # (identical outputs to running all max_out slots; dead slots stay
+        # zero/invalid). Under vmap each lane masks off independently.
+        return (s < max_out) & jnp.any(alive)
+
+    def body(carry):
+        s, cur_scores, alive, out_segs, out_scores, out_valid = carry
         masked = jnp.where(alive, cur_scores, -1.0)
         j = jnp.argmax(masked)
         picked_ok = alive[j]
@@ -75,16 +82,17 @@ def soft_nms(
             new_scores = cur_scores
         else:
             new_alive = alive & (new_scores >= min_score)
-        return new_scores, new_alive, out_segs, out_scores, out_valid
+        return s + 1, new_scores, new_alive, out_segs, out_scores, out_valid
 
     init = (
+        jnp.zeros((), jnp.int32),
         scores,
         valid,
         jnp.zeros((max_out, 2), segs.dtype),
         jnp.zeros((max_out,), scores.dtype),
         jnp.zeros((max_out,), jnp.bool_),
     )
-    _, _, out_segs, out_scores, out_valid = jax.lax.fori_loop(0, max_out, body, init)
+    _, _, _, out_segs, out_scores, out_valid = jax.lax.while_loop(cond, body, init)
     return out_segs, out_scores, out_valid
 
 
