@@ -141,7 +141,8 @@ class AVLocalizer(nn.Module):
                 feats, norm_x, feats, mask, train=train)
         elif cfg.variant == "plain":
             if cfg.backbone_type == "conv":
-                bb_feats, bb_masks = ConvBackbone(name="backbone", **bb_kw)(
+                conv_kw = {k: v for k, v in bb_kw.items() if k != "max_len"}
+                bb_feats, bb_masks = ConvBackbone(name="backbone", **conv_kw)(
                     feats, mask, train=train)
             else:
                 bb_feats, bb_masks = ConvTransformerBackbone(name="backbone",

@@ -140,6 +140,11 @@ def _ref_name(path: Tuple[str, ...]) -> Optional[Tuple[str, str]]:
             return block_inner("backbone.resselfattention", p[2:])
         m = re.fullmatch(r"(stem|branch|lh_branch|hh_branch)_(\d+)", name)
         if m:
+            # pure-conv backbone blocks (ConvBlock, blocks.py:1320-1370)
+            if len(p) > 2 and p[2] in ("conv1", "conv2", "downsample"):
+                return (f"backbone.{m.group(1)}.{m.group(2)}.{p[2]}.conv."
+                        f"{'weight' if leaf == 'kernel' else 'bias'}",
+                        "conv_w" if leaf == "kernel" else "direct")
             return block_inner(f"backbone.{m.group(1)}.{m.group(2)}", p[2:])
         raise KeyError(f"unmapped backbone param {path}")
 

@@ -199,3 +199,39 @@ def test_plain_convtransformer_parity():
     for lvl, (a, b) in enumerate(zip(out["out_offsets"], out_off_t)):
         np.testing.assert_allclose(np.asarray(a), b.permute(0, 2, 1).numpy(),
                                    atol=2e-4, err_msg=f"level {lvl}")
+
+
+def test_plain_conv_backbone_parity():
+    """Pure-conv legacy backbone (backbones.py:171-270)."""
+    modeling = load_reference_modeling()
+    kwargs = reference_model_kwargs(max_seq_len=192)
+    kwargs["backbone_type"] = "conv"
+    kwargs["input_dim"] = kwargs.pop("video_input_dim")
+    torch.manual_seed(9)
+    ref = modeling.make_meta_arch("AVLocPointTransformer", **kwargs)
+    ref.eval()
+
+    cfg = ArchConfig(
+        variant="plain", backbone_type="conv", input_dim=64,
+        num_classes=1, max_seq_len=192, embd_dim=32, fpn_dim=32, head_dim=32,
+        n_head=4, mha_win_size=(7, 7, 7, 7, 7, -1), use_abs_pe=False,
+        droppath=0.1,
+    )
+    ours = AVLocalizer(cfg)
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 192, 64)),
+                         jnp.ones((1, 192), bool), train=False)
+    params = {"params": convert_state_dict(ref.state_dict(), template["params"])}
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, 192, 64)).astype(np.float32)
+    x_t = torch.from_numpy(x).permute(0, 2, 1)
+    mask_t = torch.ones(1, 1, 192, dtype=torch.bool)
+    with torch.no_grad():
+        bf, bm = ref.backbone(x_t, mask_t)
+        ff, fm = ref.neck(bf, bm)
+        out_cls_t = ref.cls_head(ff, fm)
+
+    out = ours.apply(params, jnp.asarray(x), jnp.ones((1, 192), bool), train=False)
+    for lvl, (a, b) in enumerate(zip(out["out_cls"], out_cls_t)):
+        np.testing.assert_allclose(np.asarray(a), b.permute(0, 2, 1).numpy(),
+                                   atol=2e-4, err_msg=f"level {lvl}")
