@@ -44,7 +44,7 @@ def measure_ours() -> float:
         variant="av_recovery_norecon", input_dim=DIM, num_classes=1,
         max_seq_len=SEQ, embd_dim=256, fpn_dim=256, head_dim=256, n_head=4,
         mha_win_size=(7, 7, 7, 7, 7, -1), use_abs_pe=True, droppath=0.1,
-        compute_dtype=os.environ.get("AVDD_COMPUTE_DTYPE", "float32"),
+        compute_dtype=os.environ.get("AVDD_COMPUTE_DTYPE", "bfloat16"),
     )
     test_cfg = TestConfig(
         pre_nms_thresh=0.001, pre_nms_topk=2000, iou_threshold=0.1,
