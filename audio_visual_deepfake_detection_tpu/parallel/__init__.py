@@ -1,6 +1,7 @@
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     batch_sharding,
+    device_prefetch,
     make_mesh,
     pad_batch_to,
     replicate_tree,

@@ -10,7 +10,7 @@ over DCN with per-host data loading — no NCCL/MPI analogue to port.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -56,6 +56,38 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def device_prefetch(batch_iter, mesh: Optional[Mesh] = None, depth: int = 2):
+    """Overlap host->device transfer with device compute: keep up to ``depth``
+    batches in flight on the device ahead of consumption (the reference's
+    DataLoader workers only overlap host IO; the transfer itself was
+    synchronous inside each forward, av_fd_no_recon.py:476-477)."""
+    import collections
+
+    buf = collections.deque()
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch)
+        out = {}
+        for key, value in batch.items():
+            out[key] = value if key == "video_ids" else jax.device_put(value)
+        return out
+
+    it = iter(batch_iter)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt
 
 
 def pad_batch_to(batch: dict, target: int) -> dict:

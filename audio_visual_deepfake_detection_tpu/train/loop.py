@@ -13,7 +13,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 
-from ..parallel.mesh import pad_batch_to, shard_batch
+from ..parallel.mesh import device_prefetch, pad_batch_to
 from .checkpoint import save_checkpoint
 from .meters import AverageMeter, MetricsLogger
 
@@ -38,13 +38,16 @@ def train_one_epoch(
     print(f"\n[Train]: Epoch {curr_epoch:d} started")
     start = time.time()
 
-    for iter_idx, batch in enumerate(loader):
-        if batch_size is not None:
-            batch = pad_batch_to(batch, batch_size)
-        batch.pop("_real_rows", None)
-        video_ids = batch.pop("video_ids", None)
-        if mesh is not None:
-            batch = shard_batch(mesh, batch)
+    def host_batches():
+        for batch in loader:
+            if batch_size is not None:
+                batch = pad_batch_to(batch, batch_size)
+            batch.pop("_real_rows", None)
+            batch.pop("video_ids", None)
+            yield batch
+
+    # transfers overlap compute: up to 2 batches in flight on the device
+    for iter_idx, batch in enumerate(device_prefetch(host_batches(), mesh)):
         state, losses = train_step(state, batch)
 
         if iter_idx != 0 and iter_idx % print_freq == 0:

@@ -197,3 +197,34 @@ def test_loader_multihost_sharding(feature_root):
         seen.append(set(ids))
     assert seen[0].isdisjoint(seen[1])
     assert len(seen[0] | seen[1]) == len(ds)
+
+
+def test_config_system(tmp_path):
+    """YAML over defaults: YAML wins, dims propagate into model cfg."""
+    import yaml
+    from audio_visual_deepfake_detection_tpu.core import (
+        arch_config_from, load_config, test_config_from)
+
+    cfg_yaml = {
+        "dataset_name": "deepfake_video_audioEmoBYOLA",
+        "model_name": "AVLocPointTransformerRecoveryNoNormNorecon",
+        "dataset": {"video_input_dim": 256, "audio_input_dim": 2816,
+                    "max_seq_len": 768, "num_classes": 1},
+        "model": {"embd_dim": 256, "n_mha_win_size": [7, 7, 7, 7, 7, -1]},
+        "test_cfg": {"min_score": 0.2, "nms_sigma": 0.75},
+        "opt": {"learning_rate": 0.001},
+    }
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(cfg_yaml))
+    config = load_config(str(path))
+    # defaults filled in
+    assert config["train_cfg"]["center_sample"] == "radius"
+    assert config["opt"]["warmup_epochs"] == 5
+    # propagation into model (reference _update_config, config.py:149-157)
+    assert config["model"]["video_input_dim"] == 256
+    assert config["model"]["test_cfg"]["min_score"] == 0.2
+
+    arch = arch_config_from(config)
+    assert arch.input_dim == 3072 and arch.variant == "av_recovery_norecon"
+    tcfg = test_config_from(config)
+    assert tcfg.min_score == 0.2 and tcfg.nms_sigma == 0.75
