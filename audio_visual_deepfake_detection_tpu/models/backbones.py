@@ -121,6 +121,7 @@ class HRLRBackbone(nn.Module):
     use_abs_pe: bool = False
     use_rel_pe: bool = False
     use_time_weight: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, norm_x, reco_x, mask, train: bool = False):
@@ -146,40 +147,39 @@ class HRLRBackbone(nn.Module):
             n_embd=n_embd, n_head=self.n_head,
             attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
             path_pdrop=self.path_pdrop, use_rel_pe=self.use_rel_pe,
-            use_time_weight=self.use_time_weight,
+            use_time_weight=self.use_time_weight, deterministic=det,
         )
-        x, _ = TransformerBlock(window_size=self.mha_win_size[0], cross=True,
-                                name="res_self_attn", **block_kw)(
-            x, mask, x_k=reco_x, mask_k=mask, x_v=x, mask_v=mask,
-            deterministic=det)
+        # activation checkpointing: recompute block activations in the
+        # backward pass instead of keeping them (enables much larger train
+        # batches; the block call signature is array-only for this reason)
+        Block = nn.remat(TransformerBlock) if self.remat and train             else TransformerBlock
+        x, _ = Block(window_size=self.mha_win_size[0], cross=True,
+                     name="res_self_attn", **block_kw)(
+            x, mask, x_k=reco_x, mask_k=mask, x_v=x, mask_v=mask)
 
         for i in range(self.arch[1]):
-            x, mask = TransformerBlock(window_size=self.mha_win_size[0],
-                                       name=f"stem_{i}", **block_kw)(
-                x, mask, deterministic=det)
+            x, mask = Block(window_size=self.mha_win_size[0],
+                            name=f"stem_{i}", **block_kw)(x, mask)
 
         lh_feat, lh_mask = x, mask
         out_feats = [lh_feat]
         out_masks = [lh_mask]
         full_t = x.shape[1]
         for i in range(self.arch[2]):
-            x, mask = TransformerBlock(ds_stride=self.scale_factor,
-                                       window_size=self.mha_win_size[1 + i],
-                                       name=f"branch_{i}", **block_kw)(
-                x, mask, deterministic=det)
+            x, mask = Block(ds_stride=self.scale_factor,
+                            window_size=self.mha_win_size[1 + i],
+                            name=f"branch_{i}", **block_kw)(x, mask)
             up = nearest_resample_time(x, full_t, axis=1)
-            lh_feat, lh_mask = TransformerBlock(window_size=self.mha_win_size[0],
-                                                cross=True, name=f"lh_branch_{i}",
-                                                **block_kw)(
-                lh_feat, lh_mask, x_k=up, mask_k=lh_mask, x_v=up, mask_v=lh_mask,
-                deterministic=det)
+            lh_feat, lh_mask = Block(window_size=self.mha_win_size[0],
+                                     cross=True, name=f"lh_branch_{i}",
+                                     **block_kw)(
+                lh_feat, lh_mask, x_k=up, mask_k=lh_mask, x_v=up, mask_v=lh_mask)
             out_feats.append(x)
             out_masks.append(mask)
             down = nearest_resample_time(lh_feat, x.shape[1], axis=1)
-            x, mask = TransformerBlock(window_size=self.mha_win_size[0], cross=True,
-                                       name=f"hh_branch_{i}", **block_kw)(
-                x, mask, x_k=down, mask_k=mask, x_v=down, mask_v=mask,
-                deterministic=det)
+            x, mask = Block(window_size=self.mha_win_size[0], cross=True,
+                            name=f"hh_branch_{i}", **block_kw)(
+                x, mask, x_k=down, mask_k=mask, x_v=down, mask_v=mask)
         out_feats[0] = lh_feat
         out_masks[0] = lh_mask
         return out_feats, out_masks
@@ -218,18 +218,16 @@ class ConvTransformerBackbone(nn.Module):
             n_embd=n_embd, n_head=self.n_head,
             attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
             path_pdrop=self.path_pdrop, use_rel_pe=self.use_rel_pe,
-            use_time_weight=self.use_time_weight,
+            use_time_weight=self.use_time_weight, deterministic=det,
         )
         for i in range(self.arch[1]):
             x, mask = TransformerBlock(window_size=self.mha_win_size[0],
-                                       name=f"stem_{i}", **block_kw)(
-                x, mask, deterministic=det)
+                                       name=f"stem_{i}", **block_kw)(x, mask)
         out_feats, out_masks = [x], [mask]
         for i in range(self.arch[2]):
             x, mask = TransformerBlock(ds_stride=self.scale_factor,
                                        window_size=self.mha_win_size[1 + i],
-                                       name=f"branch_{i}", **block_kw)(
-                x, mask, deterministic=det)
+                                       name=f"branch_{i}", **block_kw)(x, mask)
             out_feats.append(x)
             out_masks.append(mask)
         return out_feats, out_masks

@@ -179,6 +179,7 @@ class TransformerBlock(nn.Module):
     use_rel_pe: bool = False
     use_time_weight: bool = False
     cross: bool = False
+    deterministic: bool = True
 
     @nn.compact
     def __call__(
@@ -190,8 +191,8 @@ class TransformerBlock(nn.Module):
         x_v: Optional[jnp.ndarray] = None,
         mask_v: Optional[jnp.ndarray] = None,
         pos_embd: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
     ):
+        deterministic = self.deterministic
         c = self.n_embd
         attn = ConvAttention(
             c, self.n_head,

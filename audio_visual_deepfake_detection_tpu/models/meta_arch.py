@@ -72,6 +72,8 @@ class ArchConfig:
     # 'float32' (parity default) or 'bfloat16' (MXU-native mixed precision:
     # params/losses stay f32, activations run bf16, norms/softmax compute f32)
     compute_dtype: str = "float32"
+    # rematerialize backbone blocks in the backward pass (memory for FLOPs)
+    remat: bool = False
 
     @property
     def fpn_strides(self) -> Tuple[int, ...]:
@@ -118,6 +120,7 @@ class AVLocalizer(nn.Module):
             use_abs_pe=cfg.use_abs_pe, use_rel_pe=cfg.use_rel_pe,
             use_time_weight=cfg.use_time_weight,
         )
+        hrlr_kw = dict(remat=cfg.remat)
 
         if cfg.variant in ("av_recovery_norecon", "av_recovery"):
             norm_x, reco, cls_scores = DeepInterpolator(
@@ -129,7 +132,8 @@ class AVLocalizer(nn.Module):
             outputs["norm_inputs"] = norm_x
             outputs["reco"] = reco
             k_stream = reco if cfg.variant == "av_recovery" else feats
-            bb_feats, bb_masks = HRLRBackbone(name="backbone", **bb_kw, **tr_kw)(
+            bb_feats, bb_masks = HRLRBackbone(name="backbone", **bb_kw, **tr_kw,
+                                              **hrlr_kw)(
                 feats, norm_x, k_stream, mask, train=train)
         elif cfg.variant == "av_recovery_the":
             norm_x, seg_scores, cls_scores = SegmentAndCls(
@@ -137,7 +141,8 @@ class AVLocalizer(nn.Module):
             )(feats, mask, deterministic=det)
             outputs["cls_scores"] = cls_scores
             outputs["seg_scores"] = seg_scores
-            bb_feats, bb_masks = HRLRBackbone(name="backbone", **bb_kw, **tr_kw)(
+            bb_feats, bb_masks = HRLRBackbone(name="backbone", **bb_kw, **tr_kw,
+                                              **hrlr_kw)(
                 feats, norm_x, feats, mask, train=train)
         elif cfg.variant == "plain":
             if cfg.backbone_type == "conv":

@@ -124,3 +124,39 @@ def test_train_step_sharded_8dev(rng):
     batch = shard_batch(mesh, make_batch(rng, 8, cfg))
     s1, losses = step(state, batch)
     assert np.isfinite(float(losses["final_loss"]))
+
+
+def test_remat_grads_match(rng):
+    """Activation checkpointing changes memory, not math: identical grads."""
+    import dataclasses
+    from audio_visual_deepfake_detection_tpu.models import (
+        AVLocalizer, compute_losses, label_points, model_points)
+
+    cfg = tiny_cfg()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    batch = make_batch(rng, 2, cfg)
+    params, _ = init_model(cfg, 2, 0)
+    pts = model_points(cfg)
+    gt_cls, gt_off = label_points(
+        pts, jnp.asarray(batch["gt_segments"]), jnp.asarray(batch["gt_labels"]),
+        jnp.asarray(batch["gt_valid"]), 1)
+
+    def loss_for(c):
+        model = AVLocalizer(c)
+
+        def fn(p):
+            out = model.apply(p, jnp.asarray(batch["feats"]),
+                              jnp.asarray(batch["mask"]), train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+            losses, _ = compute_losses(
+                out, gt_cls, gt_off, jnp.asarray(batch["has_gt"]),
+                jnp.asarray(200.0), num_classes=1, loss_weight=2.0,
+                label_smoothing=0.1)
+            return losses["final_loss"]
+
+        return jax.value_and_grad(fn)(params)
+
+    (l0, g0), (l1, g1) = loss_for(cfg), loss_for(cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
