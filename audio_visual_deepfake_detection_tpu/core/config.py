@@ -118,6 +118,7 @@ def default_config() -> Dict[str, Any]:
             # data-parallel mesh axis size; -1 = all local devices
             "dp_size": -1,
             "compute_dtype": "float32",   # float32 | bfloat16
+            "remat": False,               # backbone activation checkpointing
             "prefetch": 2,
         },
     }
@@ -210,6 +211,7 @@ def arch_config_from(config: Dict) -> "ArchConfig":
         cls_prior_prob=tc["cls_prior_prob"],
         head_empty_cls=tuple(tc["head_empty_cls"]),
         compute_dtype=config.get("tpu", {}).get("compute_dtype", "float32"),
+        remat=config.get("tpu", {}).get("remat", False),
     )
 
 
