@@ -24,12 +24,12 @@ from audio_visual_deepfake_detection_tpu.train import (
     init_model, latest_epoch_path, restore_params)
 
 
-def collate_infer(samples):
+def collate_infer(samples, transfer_dtype=np.float32):
     b = len(samples)
     c = samples[0]["feats"].shape[1]
     t = samples[0]["feats"].shape[0]
     batch = {
-        "feats": np.stack([s["feats"] for s in samples]).astype(np.float32),
+        "feats": np.stack([s["feats"] for s in samples]).astype(transfer_dtype),
         "mask": np.ones((b, t), bool),
         "fps": np.asarray([s["fps"] for s in samples], np.float32),
         "duration": np.asarray([s["duration"] for s in samples], np.float32),
@@ -57,7 +57,17 @@ def main(args):
     dataset = DeepfakeInferenceDataset(
         config["dataset_name"], config["test_split"], args.sub_index,
         config["dataset"])
-    loader = DataLoader(dataset, args.batch_size, collate_infer,
+    # bf16 compute: ship features over the wire at half width too
+    if config["tpu"]["compute_dtype"] == "bfloat16":
+        import ml_dtypes
+        transfer_dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        transfer_dtype = np.float32
+
+    def collate(samples):
+        return collate_infer(samples, transfer_dtype)
+
+    loader = DataLoader(dataset, args.batch_size, collate,
                         shuffle=False, drop_last=False,
                         num_workers=config["loader"]["num_workers"])
 

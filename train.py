@@ -46,8 +46,17 @@ def main(args):
     max_gt = config["dataset"].get("max_gt_segments", 32)
     max_seq_len = config["dataset"]["max_seq_len"]
 
+    if config["tpu"]["compute_dtype"] == "bfloat16":
+        import ml_dtypes
+        transfer_dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        transfer_dtype = np.float32
+
     def collate(samples):
-        return collate_batch(samples, max_seq_len, max_gt, with_frame)
+        batch = collate_batch(samples, max_seq_len, max_gt, with_frame)
+        # half-width infeed when computing in bf16 (model casts anyway)
+        batch["feats"] = batch["feats"].astype(transfer_dtype)
+        return batch
 
     mesh = make_mesh(config["tpu"]["dp_size"])
     n_dev = mesh.devices.size
