@@ -98,23 +98,30 @@ class TokenPool(nn.Module):
                        feature_group_count=d, use_bias=False, name="pool")(grid)
         new_thw = tuple(grid.shape[1:4])
         grid = grid.reshape(b, h, _prod(new_thw), d)
-        grid = nn.LayerNorm(epsilon=1e-6, name="norm")(grid)
+        # torchvision normalizes AFTER re-attaching the class token, so the
+        # class token goes through the LN too (torchvision Pool.forward)
         out = jnp.concatenate([cls_tok, grid], axis=2)
+        out = nn.LayerNorm(epsilon=1e-6, name="norm")(out)
         return out, new_thw
 
 
 def _rel_pos_index(q_size: int, k_size: int) -> np.ndarray:
     """Relative position lookup (MViTv2 decomposed rel-pos with size ratio
-    correction)."""
-    ratio = max(k_size / q_size, 1.0)
-    q_ratio = max(q_size / k_size, 1.0)
+    correction, torchvision _add_rel_pos): q coordinates are scaled by
+    max(k/q, 1), k coordinates by max(q/k, 1), and the table offset is
+    (k-1) * max(q/k, 1), giving indices in [0, 2*max(q,k)-2]."""
+    q_ratio = max(k_size / q_size, 1.0)
+    k_ratio = max(q_size / k_size, 1.0)
     qi = np.arange(q_size)[:, None] * q_ratio
-    ki = np.arange(k_size)[None, :] * ratio
-    return (qi - ki + (k_size - 1) * ratio).astype(np.int32)
+    ki = np.arange(k_size)[None, :] * k_ratio
+    idx = (qi - ki + (k_size - 1) * k_ratio).astype(np.int32)
+    assert idx.min() >= 0 and idx.max() <= 2 * max(q_size, k_size) - 2
+    return idx
 
 
 class MultiscaleAttention(nn.Module):
     cfg: MSBlockConfig
+    input_thw: Tuple[int, int, int]  # static pre-block grid from the config
     residual_pool: bool = True
     residual_with_cls_embed: bool = False
     rel_pos_embed: bool = True
@@ -140,12 +147,21 @@ class MultiscaleAttention(nn.Module):
         if self.rel_pos_embed:
             qt, qh, qw = q_thw
             kt, kh, kw = k_thw
+            # table sizes come from the STATIC configured grid (torchvision
+            # allocates them from input_size at construction), so parameter
+            # shapes do not depend on the runtime clip length; shorter inputs
+            # index the low corner, exactly like running torchvision below
+            # its configured temporal_size
+            cq = [s // st for s, st in zip(self.input_thw, c.stride_q)]
+            ck = [s // st for s, st in zip(self.input_thw, c.stride_kv)]
+            rel_sp_dim = 2 * max(cq[1], ck[1], cq[2], ck[2]) - 1
+            rel_t_dim = 2 * max(cq[0], ck[0]) - 1
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
-                               (2 * max(qh, kh) - 1, d))
+                               (rel_sp_dim, d))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
-                               (2 * max(qw, kw) - 1, d))
+                               (rel_sp_dim, d))
             rel_t = self.param("rel_pos_t", nn.initializers.zeros,
-                               (2 * max(qt, kt) - 1, d))
+                               (rel_t_dim, d))
             q_grid = q[:, :, 1:].reshape(b, nh, qt, qh, qw, d)
             # decomposed bias: attn[q, k] += q . R_h[dh] + q . R_w[dw] + q . R_t[dt]
             Rh = rel_h[jnp.asarray(_rel_pos_index(qh, kh))]      # (qh, kh, d)
@@ -175,12 +191,14 @@ class MultiscaleAttention(nn.Module):
 
 class MultiscaleBlock(nn.Module):
     cfg: MSBlockConfig
+    input_thw: Tuple[int, int, int]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
         c = self.cfg
         x_norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x_attn, thw_new = MultiscaleAttention(c, name="attn")(x_norm1, thw)
+        x_attn, thw_new = MultiscaleAttention(
+            c, self.input_thw, name="attn")(x_norm1, thw)
 
         # proj_after_attn=True: channel projection happens on norm1 output
         if c.input_channels != c.output_channels:
@@ -214,6 +232,20 @@ class MViTVideoEncoder(nn.Module):
     patch_kernel: Tuple[int, int, int] = (3, 15, 15)
     patch_stride: Tuple[int, int, int] = (1, 12, 12)
     patch_padding: Tuple[int, int, int] = (1, 3, 3)
+    # static sizes the rel-pos tables are allocated for (torchvision sizes
+    # them from spatial_size/temporal_size at construction); the reference
+    # extracts on 512-frame zero-padded chunks of 96x96 video
+    # (extract_video_features.py:53-77)
+    temporal_size: int = 512
+    spatial_size: Tuple[int, int] = (96, 96)
+
+    def _config_grid(self) -> Tuple[int, int, int]:
+        """Token grid after the patch-embed conv at the configured sizes."""
+        sizes = (self.temporal_size,) + tuple(self.spatial_size)
+        return tuple(
+            (s + 2 * p - k) // st + 1
+            for s, p, k, st in zip(sizes, self.patch_padding,
+                                   self.patch_kernel, self.patch_stride))
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -227,8 +259,11 @@ class MViTVideoEncoder(nn.Module):
         cls_tok = self.param("class_token", nn.initializers.zeros, (1, 1, ch))
         x = jnp.concatenate([jnp.tile(cls_tok, (b, 1, 1)), x], axis=1)
 
+        cfg_thw = self._config_grid()
         for i, cfg in enumerate(self.block_setting):
-            x, thw = MultiscaleBlock(cfg, name=f"block_{i}")(x, thw)
+            x, thw = MultiscaleBlock(cfg, cfg_thw, name=f"block_{i}")(x, thw)
+            cfg_thw = tuple(
+                s // st for s, st in zip(cfg_thw, cfg.stride_q))
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = x[:, 1:]
         # (B, T'*H'*W', C): average the spatial tokens per frame to per-frame
@@ -238,16 +273,99 @@ class MViTVideoEncoder(nn.Module):
         return x
 
 
-def mvit_v2_t(out_dim: int = 256) -> MViTVideoEncoder:
+def convert_mvit_torch(state_dict, template, prefix: str = ""):
+    """Map torchvision video-MViT weights (the layout of the reference's
+    AlignVideo checkpoint under ``video_encoder.mvit.``; pass that as
+    ``prefix``) into our flax tree.
+
+    torchvision module paths (torchvision/models/video/mvit.py):
+      conv_proj, pos_encoding.class_token, blocks.{i}.{norm1,norm2},
+      blocks.{i}.attn.{qkv,project,pool_q,pool_k,pool_v,rel_pos_h/w/t},
+      pool_*.pool (depthwise Conv3d) + pool_*.norm_act.0 (LN),
+      blocks.{i}.project, blocks.{i}.mlp.{0,3}, norm.
+    """
+    from flax import traverse_util
+
+    sd = {}
+    for key, v in state_dict.items():
+        if prefix and not key.startswith(prefix):
+            continue
+        sd[key[len(prefix):]] = np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    out = {}
+
+    def put(path, value, shape):
+        assert value.shape == tuple(shape), (path, value.shape, shape)
+        out[path] = value
+
+    def linear(ref, leaf):
+        w = sd[f"{ref}.{'weight' if leaf == 'kernel' else 'bias'}"]
+        return np.transpose(w) if leaf == "kernel" else w
+
+    def ln(ref, leaf):
+        return sd[f"{ref}.{'weight' if leaf == 'scale' else 'bias'}"]
+
+    for path, tmpl in traverse_util.flatten_dict(template).items():
+        core = path[1:] if path[0] == "params" else path
+        name, leaf = core[0], core[-1]
+        if name == "conv_proj":
+            w = sd[f"conv_proj.{'weight' if leaf == 'kernel' else 'bias'}"]
+            val = np.transpose(w, (2, 3, 4, 1, 0)) if leaf == "kernel" else w
+            put(path, val, tmpl.shape)
+        elif name == "class_token":
+            put(path, sd["pos_encoding.class_token"].reshape(tmpl.shape),
+                tmpl.shape)
+        elif name == "norm":
+            put(path, ln("norm", leaf), tmpl.shape)
+        elif name.startswith("block_"):
+            i = int(name.split("_")[1])
+            sub = core[1]
+            if sub in ("norm1", "norm2"):
+                put(path, ln(f"blocks.{i}.{sub}", leaf), tmpl.shape)
+            elif sub == "project":
+                put(path, linear(f"blocks.{i}.project", leaf), tmpl.shape)
+            elif sub == "attn":
+                mod = core[2]
+                if mod == "qkv":
+                    put(path, linear(f"blocks.{i}.attn.qkv", leaf), tmpl.shape)
+                elif mod == "proj":
+                    put(path, linear(f"blocks.{i}.attn.project", leaf),
+                        tmpl.shape)
+                elif mod in ("pool_q", "pool_k", "pool_v"):
+                    ref = f"blocks.{i}.attn.{mod}"
+                    if core[3] == "pool":
+                        w = sd[f"{ref}.pool.weight"]  # (d, 1, kt, kh, kw)
+                        put(path, np.transpose(w, (2, 3, 4, 1, 0)), tmpl.shape)
+                    else:
+                        put(path, ln(f"{ref}.norm_act.0", leaf), tmpl.shape)
+                elif mod in ("rel_pos_h", "rel_pos_w", "rel_pos_t"):
+                    put(path, sd[f"blocks.{i}.attn.{mod}"], tmpl.shape)
+                else:
+                    raise KeyError(path)
+            elif sub in ("mlp_fc1", "mlp_fc2"):
+                idx = 0 if sub == "mlp_fc1" else 3
+                put(path, linear(f"blocks.{i}.mlp.{idx}", leaf), tmpl.shape)
+            else:
+                raise KeyError(path)
+        else:
+            raise KeyError(path)
+    return traverse_util.unflatten_dict(out)
+
+
+def mvit_v2_t(out_dim: int = 256, temporal_size: int = 512) -> MViTVideoEncoder:
     return MViTVideoEncoder(tuple(generate_config(
-        [1, 2, 5, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)))
+        [1, 2, 5, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)),
+        temporal_size=temporal_size)
 
 
-def mvit_v2_s(out_dim: int = 256) -> MViTVideoEncoder:
+def mvit_v2_s(out_dim: int = 256, temporal_size: int = 512) -> MViTVideoEncoder:
     return MViTVideoEncoder(tuple(generate_config(
-        [1, 2, 11, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)))
+        [1, 2, 11, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)),
+        temporal_size=temporal_size)
 
 
-def mvit_v2_b(out_dim: int = 256) -> MViTVideoEncoder:
+def mvit_v2_b(out_dim: int = 256, temporal_size: int = 512) -> MViTVideoEncoder:
     return MViTVideoEncoder(tuple(generate_config(
-        [2, 3, 16, 3], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)))
+        [2, 3, 16, 3], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)),
+        temporal_size=temporal_size)

@@ -46,38 +46,49 @@ class FeatureExtractor:
         self.byola_model = byola_model or AudioNTT2020()
         self.emotion_model = emotion_model or Emotion2Vec(emotion_cfg)
         self.video_chunk = video_chunk
-        if params is None:
-            params = self._random_params(seed)
-        self.params = params
+        self._seed = seed
+        # lazy per-stream init: random weights are materialized (via a jitted
+        # init — un-jitted flax init is op-by-op dispatch and pathologically
+        # slow both over the TPU tunnel and on a single host core) only for
+        # the streams actually used
+        self.params = params if params is not None else FrontendParams(
+            video=None, byola=None, emotion=None)
         self._video_fn = jax.jit(self.video_model.apply)
         self._byola_fn = jax.jit(
             lambda p, wav: byola_features(p, wav, self.byola_model))
         self._emotion_fn = jax.jit(self.emotion_model.apply)
 
-    def _random_params(self, seed: int) -> FrontendParams:
-        rng = jax.random.PRNGKey(seed)
-        r1, r2, r3 = jax.random.split(rng, 3)
-        v = self.video_model.init(r1, jnp.zeros((1, 4, 96, 96, 3)))
-        b = self.byola_model.init(r2, jnp.zeros((1, 96, 64)))
-        e = self.emotion_model.init(r3, jnp.zeros((1, 16000)))
-        return FrontendParams(video=v, byola=b, emotion=e)
+    def _stream_params(self, which: str):
+        if getattr(self.params, which) is None:
+            rng = jax.random.PRNGKey(self._seed)
+            keys = dict(zip(("video", "byola", "emotion"),
+                            jax.random.split(rng, 3)))
+            init_args = {
+                "video": (self.video_model, jnp.zeros((1, 4, 96, 96, 3))),
+                "byola": (self.byola_model, jnp.zeros((1, 96, 64))),
+                "emotion": (self.emotion_model, jnp.zeros((1, 16000))),
+            }
+            model, example = init_args[which]
+            setattr(self.params, which,
+                    jax.jit(model.init)(keys[which], example))
+        return getattr(self.params, which)
 
     def video_features(self, frames: np.ndarray) -> np.ndarray:
         """(T, H, W, 3) uint8 -> (T, 256)."""
         chunks, t = chunk_video(frames.astype(np.float32) / 255.0, self.video_chunk)
         resized = jax.vmap(lambda f: bilinear_resize_video(f, (96, 96)))(
             jnp.asarray(chunks))
-        feats = self._video_fn(self.params.video, resized)
+        feats = self._video_fn(self._stream_params("video"), resized)
         return np.asarray(feats).reshape(-1, feats.shape[-1])[:t]
 
     def byola_features(self, wav: np.ndarray) -> np.ndarray:
         """(L,) 16 kHz -> (~L/1280, 2048) @ 12.5 Hz."""
-        out = self._byola_fn(self.params.byola, jnp.asarray(wav)[None])
+        out = self._byola_fn(self._stream_params("byola"), jnp.asarray(wav)[None])
         return np.asarray(out[0])
 
     def emotion_features(self, wav: np.ndarray) -> np.ndarray:
         """(L,) 16 kHz -> (~L/320, 768) @ 50 Hz."""
-        out = self._emotion_fn(self.params.emotion, jnp.asarray(wav)[None])
+        out = self._emotion_fn(self._stream_params("emotion"), jnp.asarray(wav)[None])
         return np.asarray(out[0])
 
     def extract_all(self, mp4_path: str, wav_path: Optional[str] = None
