@@ -25,7 +25,7 @@ setup_jax()
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-BATCH = 64
+BATCH = int(os.environ.get("AVDD_BENCH_BATCH", "256"))
 SEQ = 768
 DIM = 3072
 WARMUP = 2
