@@ -252,6 +252,10 @@ class DeepfakeInferenceDataset:
         self.num_frames = dataset_cfg["num_frames"]
         self.max_seq_len = dataset_cfg["max_seq_len"]
         self.force_upsampling = dataset_cfg.get("force_upsampling", True)
+        # device_resample: return raw ragged streams (for
+        # infer.runner.build_online_inference_fn) instead of host-resampled
+        # concatenated features
+        self.device_resample = bool(dataset_cfg.get("device_resample", False))
         self.data_list = md.read_test_shard(dataset_cfg["test_folder"], sub_index)
 
     def __len__(self):
@@ -269,6 +273,13 @@ class DeepfakeInferenceDataset:
             if rows is not None:
                 arr = arr[:rows]
             streams.append(arr)
+
+        if self.device_resample:
+            return {
+                "video_id": item["id"],
+                "streams": streams,
+                "duration": duration,
+            }
 
         video_rows = streams[0].shape[0]
         fps = video_rows / duration

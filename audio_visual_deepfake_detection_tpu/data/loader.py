@@ -79,17 +79,22 @@ class DataLoader:
         rng_root = np.random.default_rng((self.seed + self._epoch) * 7919 + 13)
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in self._batches():
-                    seeds = rng_root.integers(0, 2**63, size=len(batch_idx))
-                    futures = [
-                        pool.submit(self.dataset.__getitem__, int(i),
-                                    np.random.default_rng(int(s)))
-                        for i, s in zip(batch_idx, seeds)
-                    ]
-                    samples = [f.result() for f in futures]
-                    out_q.put(self.collate(samples))
-            out_q.put(sentinel)
+            # an exception anywhere in the producer must reach the consumer,
+            # otherwise the main thread blocks on out_q.get() forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self._batches():
+                        seeds = rng_root.integers(0, 2**63, size=len(batch_idx))
+                        futures = [
+                            pool.submit(self.dataset.__getitem__, int(i),
+                                        np.random.default_rng(int(s)))
+                            for i, s in zip(batch_idx, seeds)
+                        ]
+                        samples = [f.result() for f in futures]
+                        out_q.put(self.collate(samples))
+                out_q.put(sentinel)
+            except BaseException as exc:  # noqa: BLE001
+                out_q.put(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -97,5 +102,8 @@ class DataLoader:
             item = out_q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()

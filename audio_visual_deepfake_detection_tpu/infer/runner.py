@@ -47,6 +47,71 @@ def build_inference_fn(cfg: ArchConfig, test_cfg: TestConfig):
     return fn
 
 
+def build_online_inference_fn(cfg: ArchConfig, test_cfg: TestConfig,
+                              ds_feat_stride: float, ds_num_frames: float):
+    """Inference with the per-stream linear resample fused INTO the device
+    program (the reference resamples per sample on the CPU dataloader,
+    deepfake_video_audio.py:996-1018; the host path mirrors that in
+    data/dataset.py). The infeed carries raw ragged streams zero-padded to a
+    static cap — smaller than the resampled (max_seq_len, C) grids — plus row
+    counts; resample + concat + stride math (deepfake_video_audio.py:461,
+    970-987) all run on device.
+
+    Returns jit fn(params, streams, rows, duration) -> (segs, scores, cls,
+    valid, video_cls) where ``streams`` is a tuple of (B, T_cap_s, C_s)
+    arrays and ``rows`` a matching tuple of (B,) valid row counts; stream 0
+    must be the video stream (fps = video_rows / duration).
+    """
+    from ..ops.resample import linear_resample_dynamic
+
+    model = AVLocalizer(cfg)
+    points = generate_points(cfg.fpn_lens, cfg.fpn_strides, cfg.regression_range)
+
+    @jax.jit
+    def fn(params, streams, rows, duration):
+        parts = [linear_resample_dynamic(s, r, cfg.max_seq_len)
+                 for s, r in zip(streams, rows)]
+        feats = jnp.concatenate(parts, axis=-1)
+        mask = jnp.ones(feats.shape[:2], bool)
+        video_rows = rows[0].astype(jnp.float32)
+        fps = video_rows / duration
+        feat_stride = ((video_rows - 1.0) * ds_feat_stride + ds_num_frames) \
+            / cfg.max_seq_len
+        out = model.apply(params, feats, mask, train=False)
+        segs, scores, cls_idxs, valid = decode_and_postprocess(
+            out, points, fps, duration, feat_stride, feat_stride,
+            test_cfg, cfg.num_classes)
+        video_cls = out.get("cls_scores")
+        if video_cls is None:
+            video_cls = jnp.zeros((feats.shape[0], 1), jnp.float32)
+        return segs, scores, cls_idxs, valid, video_cls
+
+    return fn
+
+
+def collate_streams(samples: List[dict], caps: List[int]):
+    """Batch raw per-stream arrays into zero-padded fixed-cap arrays + row
+    counts for :func:`build_online_inference_fn`."""
+    b = len(samples)
+    n_streams = len(samples[0]["streams"])
+    streams, rows = [], []
+    for s in range(n_streams):
+        c = samples[0]["streams"][s].shape[1]
+        arr = np.zeros((b, caps[s], c), np.float32)
+        cnt = np.zeros((b,), np.int32)
+        for i, item in enumerate(samples):
+            x = item["streams"][s]
+            assert x.shape[0] <= caps[s], \
+                f"stream {s}: {x.shape[0]} rows > cap {caps[s]}"
+            arr[i, :x.shape[0]] = x
+            cnt[i] = x.shape[0]
+        streams.append(arr)
+        rows.append(cnt)
+    duration = np.asarray([s["duration"] for s in samples], np.float32)
+    video_ids = [s["video_id"] for s in samples]
+    return tuple(streams), tuple(rows), duration, video_ids
+
+
 def results_to_items(video_ids: List[str], segs, scores, valid, video_cls,
                      n_real: Optional[int] = None) -> List[dict]:
     """Convert device outputs to the reference JSON item schema
@@ -87,9 +152,13 @@ def inference_one_epoch(
 
     for bidx, batch in enumerate(loader_batches):
         video_ids = batch["video_ids"]
-        segs, scores, cls_idxs, valid, video_cls = infer_fn(
-            params, batch["feats"], batch["mask"], batch["fps"],
-            batch["duration"], batch["feat_stride"], batch["feat_num_frames"])
+        if "streams" in batch:  # online path (build_online_inference_fn)
+            segs, scores, cls_idxs, valid, video_cls = infer_fn(
+                params, batch["streams"], batch["rows"], batch["duration"])
+        else:
+            segs, scores, cls_idxs, valid, video_cls = infer_fn(
+                params, batch["feats"], batch["mask"], batch["fps"],
+                batch["duration"], batch["feat_stride"], batch["feat_num_frames"])
         items = results_to_items(video_ids, segs, scores, valid, video_cls,
                                  n_real=len(video_ids))
         valid_np = np.asarray(valid)

@@ -90,6 +90,35 @@ def linear_resample_matrix(in_len: int, out_len: int) -> jnp.ndarray:
     return jnp.asarray(_linear_matrix_cached(in_len, out_len))
 
 
+def linear_resample_dynamic(x: jnp.ndarray, in_len: jnp.ndarray,
+                            out_len: int) -> jnp.ndarray:
+    """Per-sample dynamic-length linear resample on device.
+
+    ``x``: (B, T_max, C) zero-padded streams; ``in_len``: (B,) valid row
+    counts. Returns (B, out_len, C), matching :func:`linear_resample_time`
+    (and torch ``F.interpolate(linear, align_corners=False)``) row-for-row on
+    the valid prefix of each sample. Coordinate math runs in float32 exactly
+    like the trace-time path, so host- and device-resampled features agree to
+    float rounding.
+
+    This moves the reference's per-sample CPU resample
+    (deepfake_video_audio.py:996-1018) into the inference program: the infeed
+    carries the raw ragged streams (smaller than the resampled (768, C)
+    grids) and the gather+lerp fuses with the downstream projection.
+    """
+    in_len_f = in_len.astype(jnp.float32)
+    scale = in_len_f[:, None] / jnp.float32(out_len)            # (B, 1)
+    j = jnp.arange(out_len, dtype=jnp.float32)[None, :]
+    coords = (j + jnp.float32(0.5)) * scale - jnp.float32(0.5)  # (B, out)
+    coords = jnp.clip(coords, 0.0, in_len_f[:, None] - 1.0)
+    idx0 = jnp.floor(coords).astype(jnp.int32)
+    idx1 = jnp.minimum(idx0 + 1, in_len[:, None].astype(jnp.int32) - 1)
+    frac = (coords - idx0.astype(jnp.float32)).astype(x.dtype)[..., None]
+    x0 = jnp.take_along_axis(x, idx0[..., None], axis=1)
+    x1 = jnp.take_along_axis(x, idx1[..., None], axis=1)
+    return x0 * (1.0 - frac) + x1 * frac
+
+
 def nearest_resample_time(x: jnp.ndarray, out_len: int, axis: int = -2) -> jnp.ndarray:
     """``F.interpolate(mode='nearest')`` parity along ``axis``.
 

@@ -94,16 +94,26 @@ def pad_batch_to(batch: dict, target: int) -> dict:
     """Pad the leading axis to ``target`` (keeps jit shapes static for the
     last partial batch); padded rows get mask=False and has_gt=False so they
     contribute nothing to losses or results."""
-    b = batch["feats"].shape[0]
+    b = (batch["streams"][0] if "streams" in batch else batch["feats"]).shape[0]
     if b == target:
         return batch
     pad = target - b
+
+    def pad_one(value, fill=0):
+        filler = np.full((pad,) + value.shape[1:], fill, value.dtype)
+        return np.concatenate([value, filler], axis=0)
+
     out = {}
     for key, value in batch.items():
         if key == "video_ids":
             out[key] = value
-            continue
-        out[key] = np.concatenate(
-            [value, np.zeros((pad,) + value.shape[1:], value.dtype)], axis=0)
+        elif key == "streams":  # online path: tuple of (B, T_cap, C)
+            out[key] = tuple(pad_one(v) for v in value)
+        elif key == "rows":     # pad with 1 row (not 0) so fps/stride math
+            out[key] = tuple(pad_one(v, 1) for v in value)  # stays finite
+        elif key == "duration" and "streams" in batch:
+            out[key] = pad_one(value, 1)
+        else:
+            out[key] = pad_one(value)
     out["_real_rows"] = b
     return out

@@ -18,7 +18,8 @@ from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config, test_config_from)
 from audio_visual_deepfake_detection_tpu.data import DeepfakeInferenceDataset, DataLoader
 from audio_visual_deepfake_detection_tpu.infer.runner import (
-    build_inference_fn, inference_one_epoch)
+    build_inference_fn, build_online_inference_fn, collate_streams,
+    inference_one_epoch)
 from audio_visual_deepfake_detection_tpu.parallel import pad_batch_to
 from audio_visual_deepfake_detection_tpu.train import (
     init_model, latest_epoch_path, restore_params)
@@ -54,9 +55,12 @@ def main(args):
         else:
             ckpt = latest_epoch_path(ckpt) or ckpt
 
+    dataset_cfg = dict(config["dataset"])
+    if args.device_resample:
+        dataset_cfg["device_resample"] = True
     dataset = DeepfakeInferenceDataset(
         config["dataset_name"], config["test_split"], args.sub_index,
-        config["dataset"])
+        dataset_cfg)
     # bf16 compute: ship features over the wire at half width too
     if config["tpu"]["compute_dtype"] == "bfloat16":
         import ml_dtypes
@@ -64,8 +68,23 @@ def main(args):
     else:
         transfer_dtype = np.float32
 
-    def collate(samples):
-        return collate_infer(samples, transfer_dtype)
+    if args.device_resample:
+        # raw ragged streams in, resample fused into the device program;
+        # caps bound the zero-padded infeed (assertion fires if exceeded)
+        caps = [int(c) for c in args.stream_caps.split(",")]
+        assert len(caps) == len(dataset.streams), \
+            f"--stream-caps needs {len(dataset.streams)} values " \
+            f"(streams: {dataset.streams})"
+
+        def collate(samples):
+            streams, rows, duration, video_ids = collate_streams(samples, caps)
+            return {
+                "streams": tuple(s.astype(transfer_dtype) for s in streams),
+                "rows": rows, "duration": duration, "video_ids": video_ids,
+            }
+    else:
+        def collate(samples):
+            return collate_infer(samples, transfer_dtype)
 
     loader = DataLoader(dataset, args.batch_size, collate,
                         shuffle=False, drop_last=False,
@@ -73,7 +92,12 @@ def main(args):
 
     params, _ = init_model(cfg, 1, config["init_rand_seed"])
     params = restore_params(ckpt, params, use_ema=True)  # EMA weights (inference.py:74-76)
-    infer_fn = build_inference_fn(cfg, test_cfg)
+    if args.device_resample:
+        infer_fn = build_online_inference_fn(
+            cfg, test_cfg, float(config["dataset"]["feat_stride"]),
+            float(config["dataset"]["num_frames"]))
+    else:
+        infer_fn = build_inference_fn(cfg, test_cfg)
 
     out_folder = os.path.join(config["output_folder"], str(args.sub_index))
     os.makedirs(out_folder, exist_ok=True)
@@ -81,7 +105,7 @@ def main(args):
     def batches():
         for batch in loader:
             yield pad_batch_to(batch, args.batch_size) \
-                if batch["feats"].shape[0] < args.batch_size else batch
+                if len(batch["video_ids"]) < args.batch_size else batch
 
     start = time.time()
     results, _ = inference_one_epoch(
@@ -102,6 +126,14 @@ if __name__ == "__main__":
     parser.add_argument("--topk", type=int, default=-1,
                         help="override max_seg_num")
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--device-resample", action="store_true",
+                        help="ship raw ragged streams and fuse the per-stream "
+                             "linear resample + concat into the device program "
+                             "(smaller infeed, no host resample)")
+    parser.add_argument("--stream-caps", type=str, default="960,400,1520",
+                        help="comma-separated per-stream row caps for "
+                             "--device-resample (video,byola,emotion order "
+                             "per the dataset's stream tuple)")
     parser.add_argument("--flush-every", type=int, default=5000)
     parser.add_argument("-p", "--print-freq", type=int, default=20)
     main(parser.parse_args())

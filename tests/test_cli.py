@@ -129,3 +129,25 @@ def test_train_and_infer_cli(workspace):
     assert len(pred_json) == 6
     txt = (root / "runs" / "prediction.txt").read_text().splitlines()
     assert len(txt) == 6
+
+    # device-resample (online) inference must produce the same detections
+    host_items = {it["video_id"]: it for path in
+                  glob.glob(os.path.join(out_dir, "data*.json"))
+                  for it in json.load(open(path))}
+    for path in glob.glob(os.path.join(out_dir, "data*.json")):
+        os.remove(path)
+    _run(["inference.py", str(cfg_path), "1", "--ckpt", run_dir,
+          "--batch-size", "4", "--flush-every", "4", "--device-resample",
+          "--stream-caps", "400,200,800"])
+    online_items = {it["video_id"]: it for path in
+                    glob.glob(os.path.join(out_dir, "data*.json"))
+                    for it in json.load(open(path))}
+    assert set(online_items) == set(host_items)
+    for vid, host in host_items.items():
+        online = online_items[vid]
+        np.testing.assert_allclose(online["video_cls"], host["video_cls"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(online["scores"], host["scores"], atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(online["segments"], np.float64).reshape(-1, 2),
+            np.asarray(host["segments"], np.float64).reshape(-1, 2), atol=1e-3)

@@ -228,3 +228,32 @@ def test_config_system(tmp_path):
     assert arch.input_dim == 3072 and arch.variant == "av_recovery_norecon"
     tcfg = test_config_from(config)
     assert tcfg.min_score == 0.2 and tcfg.nms_sigma == 0.75
+
+
+def test_loader_propagates_collate_errors():
+    """A collate/getitem exception must surface to the consumer, not hang the
+    prefetch queue (found by driving inference.py with too-small stream caps)."""
+    from audio_visual_deepfake_detection_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i, rng=None):
+            return {"x": i}
+
+    def bad_collate(samples):
+        raise ValueError("collate boom")
+
+    loader = DataLoader(DS(), 4, bad_collate, num_workers=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collate boom"):
+        list(loader)
+
+    class BadDS(DS):
+        def __getitem__(self, i, rng=None):
+            raise OSError("corrupt npy")
+
+    loader = DataLoader(BadDS(), 4, lambda s: s, num_workers=2)
+    with _pytest.raises(OSError, match="corrupt npy"):
+        list(loader)
