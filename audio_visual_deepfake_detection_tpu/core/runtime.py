@@ -22,8 +22,12 @@ def setup_jax(cache_dir: str | None = None) -> None:
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
         return
 
-    # fused Pallas banded attention on TPU (AVDD_USE_PALLAS=0 to disable)
-    if jax.default_backend() == "tpu" and os.environ.get("AVDD_USE_PALLAS", "1") == "1":
+    # Pallas banded attention (AVDD_USE_PALLAS=1 to enable). Off by default:
+    # measured SLOWER than the XLA shift formulation on v5e (B=256 forward
+    # 215 ms vs 179 ms) — the (B*H,)-grid programs run sequentially on the
+    # single tensor core and their per-program work is tiny, so grid overhead
+    # dominates. Kept as an opt-in for future multi-row tiling work.
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_USE_PALLAS", "0") == "1":
         from ..ops import attention
 
         attention.USE_PALLAS = True
