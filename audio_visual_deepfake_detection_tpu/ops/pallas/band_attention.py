@@ -27,28 +27,31 @@ from ..attention import NEG_PENALTY
 
 
 def _shift_rows(x, d):
-    """y[i] = x[i+d] with zero fill, along axis 0 of a (T, D) block."""
+    """y[..., i, :] = x[..., i+d, :] with zero fill, along axis -2."""
     if d == 0:
         return x
-    t = x.shape[0]
+    t = x.shape[-2]
+    pad = [(0, 0)] * x.ndim
     if d > 0:
-        return jnp.pad(x[d:], ((0, d), (0, 0)))
-    return jnp.pad(x[:t + d], ((-d, 0), (0, 0)))
+        pad[-2] = (0, d)
+        return jnp.pad(x[..., d:, :], pad)
+    pad[-2] = (-d, 0)
+    return jnp.pad(x[..., :t + d, :], pad)
 
 
 def _band_kernel(w_overlap, q_ref, k_ref, v_ref, pen_ref, qvalid_ref, out_ref):
-    q = q_ref[0]          # (T, D)
-    k = k_ref[0]
-    v = v_ref[0]
-    pen = pen_ref[0]      # (T, 1): 0 valid, NEG_PENALTY masked
-    t, d_head = q.shape
+    q = q_ref[...]        # (G, T, D): G batch*head rows per grid step
+    k = k_ref[...]
+    v = v_ref[...]
+    pen = pen_ref[...]    # (G, T, 1): 0 valid, NEG_PENALTY masked
+    t = q.shape[-2]
 
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
 
     scores = []
     for d in range(-w_overlap, w_overlap + 1):
         k_shift = _shift_rows(k, d)
-        s = jnp.sum(q * k_shift, axis=-1, keepdims=True)       # (T, 1)
+        s = jnp.sum(q * k_shift, axis=-1, keepdims=True)       # (G, T, 1)
         p = _shift_rows(pen, d)
         in_range = (row_idx + d >= 0) & (row_idx + d < t)
         scores.append(jnp.where(in_range, s + p, -jnp.inf))
@@ -66,8 +69,8 @@ def _band_kernel(w_overlap, q_ref, k_ref, v_ref, pen_ref, qvalid_ref, out_ref):
         acc = acc + (exps[idx] / denom) * _shift_rows(v, d)
 
     # NaN guard: zero rows whose query-aligned kv slot is masked
-    acc = acc * qvalid_ref[0]
-    out_ref[0] = acc
+    acc = acc * qvalid_ref[...]
+    out_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("w_overlap", "interpret"))
@@ -87,18 +90,29 @@ def band_attention_pallas(
     pen = jnp.repeat(pen, h, axis=0)[..., None]                # (B*H, T, 1)
     qvalid = jnp.repeat(kv_valid.astype(q.dtype), h, axis=0)[..., None]
 
+    # grid steps run SEQUENTIALLY on the (single) tensor core, so each step
+    # should carry as many rows as fit to amortize grid overhead. VMEM is
+    # ~16 MB/core and the unrolled shifted copies live on the VMEM stack too:
+    # per step ~4 I/O buffers + ~2(2w+1) shifted k/v copies + softmax
+    # temporaries, all (G, T, D) with lanes padded to 128.
+    per_row = t * max(d, 128) * q.dtype.itemsize
+    footprint = per_row * (4 + 2 * (2 * w_overlap + 1) + 4)
+    g = max(1, min(b * h, (12 << 20) // max(footprint, 1)))
+    while (b * h) % g:
+        g -= 1
+
     kernel = functools.partial(_band_kernel, w_overlap)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=((b * h) // g,),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
         interpret=interpret,

@@ -194,3 +194,24 @@ def test_pallas_band_attention_matches_xla(rng):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_valid), w,
         interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_band_attention_multi_row_tiles(rng):
+    """Shapes large enough that the VMEM budget forces G>1 rows per grid step
+    AND multiple grid steps (the retiled kernel's blocked path)."""
+    from audio_visual_deepfake_detection_tpu.ops.pallas.band_attention import (
+        band_attention_pallas)
+
+    b, h, t, d, w = 24, 4, 768, 64, 3
+    q = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    lens = rng.integers(5, t + 1, size=b)
+    kv_valid = np.arange(t)[None, :] < lens[:, None]
+
+    ref = np.asarray(attention.band_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_valid), w))
+    out = np.asarray(band_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_valid), w,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
