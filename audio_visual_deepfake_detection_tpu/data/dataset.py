@@ -49,6 +49,33 @@ def linear_resample_np(x: np.ndarray, out_len: int) -> np.ndarray:
     return x[idx0] * (1.0 - frac) + x[idx1] * frac
 
 
+def _native_resampler():
+    """Native fused resample+concat (runtime/csrc/resample.cpp) when g++ is
+    available and AVDD_NATIVE_RESAMPLE != 0; bit-equal to the numpy path."""
+    if os.environ.get("AVDD_NATIVE_RESAMPLE", "1") != "1":
+        return None
+    try:
+        from ..runtime import host_resample
+        if host_resample.available():
+            return host_resample.resample_concat
+    except Exception:
+        pass
+    return None
+
+
+_NATIVE_RESAMPLE = _native_resampler()
+
+
+def resample_concat_np(streams: List[np.ndarray], out_len: int) -> np.ndarray:
+    """Per-stream resample to ``out_len`` + channel concat (native kernel
+    when available, numpy otherwise; identical outputs)."""
+    if _NATIVE_RESAMPLE is not None:
+        return _NATIVE_RESAMPLE(
+            [np.ascontiguousarray(s, np.float32) for s in streams], out_len)
+    return np.concatenate(
+        [linear_resample_np(s, out_len) for s in streams], axis=1)
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamSpec:
     name: str                  # video | byola | emotion
@@ -173,8 +200,9 @@ class DeepfakeDataset:
             feat_stride *= self.downsample_rate
 
         if self.force_upsampling:
-            streams = [linear_resample_np(s, self.max_seq_len) for s in streams]
-        feats = np.concatenate(streams, axis=1)  # (T, C)
+            feats = resample_concat_np(streams, self.max_seq_len)  # (T, C)
+        else:
+            feats = np.concatenate(streams, axis=1)  # (T, C)
 
         segments = labels = None
         if meta.segments is not None:
@@ -288,8 +316,7 @@ class DeepfakeInferenceDataset:
             / self.max_seq_len
         num_frames = feat_stride
 
-        streams = [linear_resample_np(s, self.max_seq_len) for s in streams]
-        feats = np.concatenate(streams, axis=1)
+        feats = resample_concat_np(streams, self.max_seq_len)
         return {
             "video_id": item["id"],
             "feats": feats,
