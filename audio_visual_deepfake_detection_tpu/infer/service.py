@@ -45,11 +45,14 @@ class Detections:
 
 class LocalizerService:
     def __init__(self, cfg: ArchConfig, test_cfg: TestConfig, params,
-                 batch_size: int = 16, max_wait_ms: float = 5.0):
+                 batch_size: int = 16, max_wait_ms: float = 5.0,
+                 ds_feat_stride: float = 1.0, ds_num_frames: float = 1.0):
         self.cfg = cfg
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1000.0
         self.params = params
+        self.ds_feat_stride = ds_feat_stride
+        self.ds_num_frames = ds_num_frames
         self._infer_fn = build_inference_fn(cfg, test_cfg)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -72,8 +75,29 @@ class LocalizerService:
                                  feat_num_frames or feat_stride, fut))
         return fut
 
+    def submit_streams(self, streams: List[np.ndarray],
+                       duration: float) -> Future:
+        """Queue one video as raw per-stream features (video stream first,
+        each (rows_s, C_s) at its native rate). Resamples to max_seq_len on
+        the host (native fused kernel when available) and derives fps /
+        feat_stride exactly like the dataset layer
+        (deepfake_video_audio.py:461, 970-987)."""
+        from ..data.dataset import resample_concat_np
+
+        feats = resample_concat_np(
+            [np.ascontiguousarray(s, np.float32) for s in streams],
+            self.cfg.max_seq_len)
+        video_rows = streams[0].shape[0]
+        fps = video_rows / duration
+        stride = ((video_rows - 1) * self.ds_feat_stride
+                  + self.ds_num_frames) / self.cfg.max_seq_len
+        return self.submit(feats, fps, duration, stride, stride)
+
     def localize(self, *args, **kwargs) -> Detections:
         return self.submit(*args, **kwargs).result()
+
+    def localize_streams(self, *args, **kwargs) -> Detections:
+        return self.submit_streams(*args, **kwargs).result()
 
     def _worker(self):
         while True:

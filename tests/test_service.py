@@ -54,3 +54,41 @@ def test_service_matches_direct_call(rng):
         np.testing.assert_allclose(res.segments, d_segs, atol=1e-5)
         np.testing.assert_allclose(res.scores, d_scores, atol=1e-5)
         np.testing.assert_allclose(res.video_cls, d_cls, atol=1e-5)
+
+
+def test_service_streams_entry_matches_host_pipeline(rng):
+    """submit_streams resamples raw ragged streams like the dataset layer and
+    yields the same detections as submitting the resampled features."""
+    from audio_visual_deepfake_detection_tpu.data.dataset import resample_concat_np
+
+    cfg = ArchConfig(
+        variant="av_recovery_norecon", input_dim=24, num_classes=1,
+        max_seq_len=96, embd_dim=32, fpn_dim=32, head_dim=32, n_head=2,
+        arch=(1, 1, 2), mha_win_size=(5, 5, -1),
+        regression_range=((0, 4), (4, 8), (8, 10000)), droppath=0.1,
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.001, pre_nms_topk=2000, min_score=0.001,
+                      max_seg_num=10, nms_method="soft", nms_sigma=0.75,
+                      duration_thresh=0.001, multiclass_nms=False,
+                      voting_thresh=0.9)
+    params, _ = init_model(cfg, 2, 0)
+    service = LocalizerService(cfg, tcfg, params, batch_size=2, max_wait_ms=5,
+                               ds_feat_stride=4.0, ds_num_frames=16.0)
+    try:
+        streams = [rng.standard_normal((53, 16)).astype(np.float32),
+                   rng.standard_normal((29, 8)).astype(np.float32)]
+        dur = 53 / 25.0
+        via_streams = service.localize_streams(streams, dur)
+
+        feats = resample_concat_np(streams, cfg.max_seq_len)
+        v_rows = streams[0].shape[0]
+        stride = ((v_rows - 1) * 4.0 + 16.0) / cfg.max_seq_len
+        via_feats = service.localize(feats, v_rows / dur, dur, stride, stride)
+
+        np.testing.assert_allclose(via_streams.segments, via_feats.segments,
+                                   atol=1e-5)
+        np.testing.assert_allclose(via_streams.scores, via_feats.scores,
+                                   atol=1e-6)
+        assert via_streams.video_cls == via_feats.video_cls
+    finally:
+        service.stop()
