@@ -119,6 +119,25 @@ def _run_seq(layers, x):
     return x
 
 
+def _torch_alibi(heads: int, t: int) -> torch.Tensor:
+    """base.py:get_alibi (dims=1): slopes * -|i - j|, (H, T, T) float32."""
+    import math
+
+    def slopes_pow2(n):
+        start = 2 ** (-(2 ** -(math.log2(n) - 3)))
+        return [start * start ** i for i in range(n)]
+
+    def slopes(n):
+        if math.log2(n).is_integer():
+            return slopes_pow2(n)
+        c = 2 ** math.floor(math.log2(n))
+        return slopes_pow2(c) + slopes(2 * c)[0::2][: n - c]
+
+    pos = torch.arange(t)
+    bias = (pos[None, :] - pos[:, None]).abs().float() * -1
+    return torch.tensor(slopes(heads))[:, None, None] * bias[None]
+
+
 class TorchEmotion2Vec(tnn.Module):
     """State-dict-compatible mirror of Data2VecMultiModel (AUDIO only)."""
 
@@ -152,6 +171,9 @@ class TorchEmotion2Vec(tnn.Module):
         if cfg.num_extra_tokens:
             enc.extra_tokens = tnn.Parameter(
                 torch.randn(1, cfg.num_extra_tokens, e) * 0.02)
+        if cfg.use_alibi:
+            # fairseq shape (1, 1, heads-or-1, 1, 1) (base.py:111-121)
+            enc.alibi_scale = tnn.Parameter(torch.full((1, 1, 1, 1, 1), 0.7))
         self.modality_encoders = tnn.ModuleDict({"AUDIO": enc})
         self.blocks = tnn.ModuleList(
             [TorchAltBlock(e, cfg.num_heads, cfg.mlp_ratio, cfg.norm_eps)
@@ -177,17 +199,25 @@ class TorchEmotion2Vec(tnn.Module):
         if padding_mask is not None:
             padding_mask = self.convert_padding_mask(x, padding_mask)
         x = x + enc.relative_positional_encoder(x)
+        ab = None
+        if cfg.use_alibi:
+            # single-scale path of base.py:276-292: bias * clamp_min(0)(scale)
+            ab = _torch_alibi(cfg.num_heads, x.size(1))[None]
+            ab = ab * enc.alibi_scale.clamp_min(0).squeeze(0).type_as(ab)
         if cfg.num_extra_tokens:
             extra = enc.extra_tokens.expand(x.size(0), -1, -1)
             x = torch.cat([extra, x], dim=1)
             if padding_mask is not None:
                 pad = torch.zeros(x.size(0), cfg.num_extra_tokens, dtype=torch.bool)
                 padding_mask = torch.cat([pad, padding_mask], dim=1)
+            if ab is not None:
+                num = cfg.num_extra_tokens
+                ab = tnn.functional.pad(ab, (num, 0, num, 0))
         x = enc.context_encoder.norm(x)
         for blk in enc.context_encoder.blocks:
-            x = blk(x, padding_mask)
+            x = blk(x, padding_mask, ab)
         for blk in self.blocks:
-            x = blk(x, padding_mask)
+            x = blk(x, padding_mask, ab)
         return x[:, cfg.num_extra_tokens:]
 
 
@@ -227,6 +257,16 @@ def test_full_model_padding_mask_and_extra_tokens(rng):
     valid = conv_output_length(4000)
     np.testing.assert_allclose(got[0], want[0], atol=2e-4)
     np.testing.assert_allclose(got[1, :valid], want[1, :valid], atol=2e-4)
+
+
+def test_full_model_alibi_path(rng):
+    """use_alibi=True: symmetric ALiBi bias scaled by clamp_min(0) of the
+    learned alibi_scale, padded around extra tokens (base.py:276-308)."""
+    cfg = Emotion2VecConfig(depth=1, prenet_depth=1, use_alibi=True,
+                            num_extra_tokens=4)
+    wav = rng.standard_normal((2, 4800)).astype(np.float32)
+    got, want = _run_pair(cfg, wav)
+    np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_frame_rate_is_50hz():
