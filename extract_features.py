@@ -24,7 +24,13 @@ def main(args):
     with open(args.file_list) as f:
         rels = [line.strip() for line in f if line.strip()]
 
-    extractor = FeatureExtractor(seed=args.seed)
+    video_model = None
+    if args.video_encoder != "c3d":
+        from audio_visual_deepfake_detection_tpu.frontends import mvit
+        video_model = getattr(mvit, args.video_encoder)(
+            out_dim=256, temporal_size=args.video_chunk)
+    extractor = FeatureExtractor(seed=args.seed, video_model=video_model,
+                                 video_chunk=args.video_chunk)
     errors = []
     for i, rel in enumerate(rels):
         mp4 = os.path.join(args.video_root, rel)
@@ -51,4 +57,10 @@ if __name__ == "__main__":
     parser.add_argument("--wav-root", default="")
     parser.add_argument("--output-root", required=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--video-encoder", default="c3d",
+                        choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"],
+                        help="visual backbone; the reference's production "
+                             "extractor is MViT-v2 (video_encoder.py:65-170)")
+    parser.add_argument("--video-chunk", type=int, default=512,
+                        help="frames per chunk (reference uses 512)")
     main(parser.parse_args())

@@ -66,6 +66,7 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str)
-    parser.add_argument("--infer-batch", type=int, nargs="*", default=[64])
+    parser.add_argument("--infer-batch", type=int, nargs="*",
+                        default=[64, 256])  # 256 = bench.py default
     parser.add_argument("--train-batch", type=int, nargs="*", default=[])
     main(parser.parse_args())
