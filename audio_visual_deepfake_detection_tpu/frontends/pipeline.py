@@ -57,6 +57,10 @@ class FeatureExtractor:
         self._byola_fn = jax.jit(
             lambda p, wav: byola_features(p, wav, self.byola_model))
         self._emotion_fn = jax.jit(self.emotion_model.apply)
+        self._emotion_mask_fn = jax.jit(
+            lambda p, wav, m: self.emotion_model.apply(p, wav, m))
+        self._byola_lms_fn = jax.jit(
+            lambda p, lms: self.byola_model.apply(p, lms, train=False))
 
     def _stream_params(self, which: str):
         if getattr(self.params, which) is None:
@@ -90,6 +94,50 @@ class FeatureExtractor:
         """(L,) 16 kHz -> (~L/320, 768) @ 50 Hz."""
         out = self._emotion_fn(self._stream_params("emotion"), jnp.asarray(wav)[None])
         return np.asarray(out[0])
+
+    @staticmethod
+    def _pad_bucket(wavs, bucket: int = 16000):
+        """Zero-pad a list of 1-D wavs to a shared bucketed length (few jit
+        shapes instead of one per file length)."""
+        lens = np.asarray([len(w) for w in wavs], np.int32)
+        cap = int(np.ceil(lens.max() / bucket) * bucket)
+        out = np.zeros((len(wavs), cap), np.float32)
+        for i, w in enumerate(wavs):
+            out[i, :len(w)] = w
+        return out, lens
+
+    def emotion_features_batch(self, wavs) -> list:
+        """Batched Emotion2Vec extraction, exact reference-batch semantics:
+        zero-padded wav batch + padding mask into the model, per-file slice
+        to the true frame count (emotion_audio/scripts/
+        extract_audio_feature_batch.py:57-98)."""
+        from .emotion2vec import conv_output_length
+
+        batch, lens = self._pad_bucket(wavs)
+        mask = np.arange(batch.shape[1])[None, :] >= lens[:, None]  # True=pad
+        out = np.asarray(self._emotion_mask_fn(
+            self._stream_params("emotion"), jnp.asarray(batch),
+            jnp.asarray(mask)))
+        return [out[i, :conv_output_length(int(l))] for i, l in enumerate(lens)]
+
+    def byola_features_batch(self, wavs) -> list:
+        """Batched BYOL-A extraction. The reference pads the NORMALIZED
+        log-mel with zeros (content_audio/extract_audio_feature_batch.py:
+        65-81) and saves the full padded-length features (truncation happens
+        downstream in the dataset). Mirrored here by zeroing mel frames past
+        each file's true frame count; the last valid encoder row can differ
+        at the CNN boundary vs single-file extraction (true in the reference
+        too — its tail depends on batch composition)."""
+        from .mel import byola_log_mel
+
+        batch, lens = self._pad_bucket(wavs)
+        lms = np.asarray(byola_log_mel(jnp.asarray(batch)))   # (B, M, T)
+        frames = 1 + lens // 160                              # hop=160, center
+        valid = np.arange(lms.shape[-1])[None, :] < frames[:, None]
+        lms = lms * valid[:, None, :]
+        out = np.asarray(self._byola_lms_fn(
+            self._stream_params("byola"), jnp.asarray(np.swapaxes(lms, -1, -2))))
+        return list(out)
 
     def extract_all(self, mp4_path: str, wav_path: Optional[str] = None
                     ) -> Dict[str, np.ndarray]:

@@ -91,3 +91,59 @@ def test_byola_features_rate(rng):
     feats = byola_features(params, jnp.asarray(wav), model)
     assert feats.shape[0] == 1 and feats.shape[2] == 64
     assert abs(feats.shape[1] - 125) <= 1
+
+
+def test_emotion_batch_matches_single(rng):
+    """Batched extraction (zero-pad + padding mask) equals per-file runs on
+    the valid prefix — the reference batch script's semantics."""
+    from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtractor
+    from audio_visual_deepfake_detection_tpu.frontends.emotion2vec import (
+        Emotion2Vec, Emotion2VecConfig, conv_output_length)
+
+    import jax.numpy as jnp
+
+    ex = FeatureExtractor(
+        emotion_model=Emotion2Vec(Emotion2VecConfig(depth=1, prenet_depth=1)))
+    wavs = [rng.standard_normal(n).astype(np.float32)
+            for n in (32000, 28800, 47999)]
+    batched = ex.emotion_features_batch(wavs)
+
+    # batch-with-padding features legitimately differ EVERYWHERE from
+    # single-file extraction: the conv positional encoder smears the pad
+    # boundary (~45-frame halo) and global attention spreads it to every
+    # frame — exactly like the reference batch script (base.py:258 runs the
+    # positional conv over padded frames; no pre-attention zeroing). So the
+    # wiring check is against a direct padded module call, not single-file.
+    cap = 48000
+    pad = np.zeros((3, cap), np.float32)
+    for i, w in enumerate(wavs):
+        pad[i, :len(w)] = w
+    mask = np.arange(cap)[None, :] >= np.asarray([len(w) for w in wavs])[:, None]
+    direct = np.asarray(ex.emotion_model.apply(
+        ex._stream_params("emotion"), jnp.asarray(pad), jnp.asarray(mask)))
+    for i, (wav, b) in enumerate(zip(wavs, batched)):
+        t = conv_output_length(len(wav))
+        assert b.shape[0] == t
+        np.testing.assert_allclose(b, direct[i, :t], atol=1e-5)
+
+    # a batch of equal-length wavs has no padding at all -> exactly the
+    # single-file features
+    same = ex.emotion_features_batch([wavs[0], wavs[0]])
+    single = ex.emotion_features(wavs[0])
+    np.testing.assert_allclose(same[0], single[: same[0].shape[0]], atol=1e-4)
+    np.testing.assert_allclose(same[0], same[1], atol=1e-6)
+
+
+def test_byola_batch_matches_single_except_boundary(rng):
+    from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtractor
+
+    ex = FeatureExtractor()
+    wavs = [rng.standard_normal(n).astype(np.float32)
+            for n in (16000, 12000)]
+    batched = ex.byola_features_batch(wavs)
+    for wav, b in zip(wavs, batched):
+        single = ex.byola_features(wav)
+        t = single.shape[0]
+        assert b.shape[0] >= t
+        # interior rows match exactly; the final row sits on the pad boundary
+        np.testing.assert_allclose(b[: t - 1], single[: t - 1], atol=1e-4)
