@@ -31,3 +31,11 @@ def setup_jax(cache_dir: str | None = None) -> None:
         from ..ops import attention
 
         attention.USE_PALLAS = True
+
+    # Fused transformer-block kernel (ops/pallas/fused_block.py) — default ON
+    # for TPU eval paths (AVDD_FUSED_BLOCK=0 to disable): one VMEM residency
+    # per block instead of ~2.7 GB of HBM fusion traffic per full-T block.
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_BLOCK", "1") == "1":
+        from ..ops.pallas import fused_block
+
+        fused_block.ENABLED = True

@@ -124,7 +124,15 @@ class HRLRBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, norm_x, reco_x, mask, train: bool = False):
+    def __call__(self, x, norm_x, reco_x, mask, train: bool = False,
+                 reco_is_x: bool = False):
+        """``reco_is_x``: static hint that ``reco_x`` is the same tensor as
+        ``x`` (true for the no-recon/THE variants, av_fd_no_recon.py:358 passes
+        the raw input as the k-stream) — the shared embed stack then runs once
+        instead of twice, exactly (same function of the same input, values AND
+        gradients). The reference also embeds ``norm_x`` (backbones.py:441-443)
+        but never consumes it afterwards — dead compute we skip entirely.
+        """
         assert len(self.mha_win_size) == 1 + self.arch[2]
         n_embd = sum(self.n_embd) if isinstance(self.n_embd, (tuple, list)) else self.n_embd
         det = not train
@@ -132,16 +140,20 @@ class HRLRBackbone(nn.Module):
         embed = _EmbedStack(self.n_in, self.n_embd, self.n_embd_ks, self.arch[0],
                             self.with_ln, name="embed")
         x, mask = embed(x, mask)
-        norm_x, _ = embed(norm_x, mask)
-        reco_x, _ = embed(reco_x, mask)
+        if reco_is_x:
+            reco_x = x
+        else:
+            reco_x, _ = embed(reco_x, mask)
 
         t = x.shape[1]
         if self.use_abs_pe:
             pe = _abs_pe(self.max_len, n_embd, t, train).astype(x.dtype)
             mf = mask.astype(x.dtype)[..., None]
             x = x + pe * mf
-            norm_x = norm_x + pe * mf
-            reco_x = reco_x + pe * mf
+            if reco_is_x:
+                reco_x = x
+            else:
+                reco_x = reco_x + pe * mf
 
         block_kw = dict(
             n_embd=n_embd, n_head=self.n_head,

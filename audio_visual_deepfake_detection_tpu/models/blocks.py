@@ -26,6 +26,7 @@ import flax.linen as nn
 from ..ops.attention import band_attention, full_attention
 from ..ops.conv import Dense, MaskedConv1D, MaskedConvTranspose1D, max_pool_skip
 from ..ops.norm import ChannelLayerNorm, instance_norm_time
+from ..ops.pallas import fused_block as _fused
 
 
 def drop_path(x: jnp.ndarray, rng, drop_prob: float, deterministic: bool) -> jnp.ndarray:
@@ -194,6 +195,30 @@ class TransformerBlock(nn.Module):
     ):
         deterministic = self.deterministic
         c = self.n_embd
+
+        # fused-kernel fast path (TPU, eval): whole block in one VMEM
+        # residency — see ops/pallas/fused_block.py. Covers every stride-1
+        # banded block of the HRLR backbone; init and training use the
+        # standard path below (identical math, golden-tested).
+        fused_mode = xo = None
+        if (_fused.ENABLED and deterministic and self.window_size > 1
+                and self.ds_stride == 1 and not self.use_rel_pe
+                and not self.use_time_weight and pos_embd is None
+                and not self.is_initializing()):
+            if not self.cross:
+                fused_mode = "self"
+            elif x_v is x and mask_k is mask and mask_v is mask:
+                fused_mode, xo = "qv_k", x_k
+            elif x_k is x_v and mask_k is mask and mask_v is mask:
+                fused_mode, xo = "kv", x_k
+        if fused_mode is not None:
+            packed = _fused.pack_block_params(
+                self.variables["params"], c, self.cross, x.dtype)
+            y = _fused.fused_transformer_block(
+                x, xo, mask, *packed, n_head=self.n_head,
+                w_overlap=self.window_size // 2, mode=fused_mode)
+            return y, mask
+
         attn = ConvAttention(
             c, self.n_head,
             window_size=self.window_size,

@@ -134,7 +134,8 @@ class AVLocalizer(nn.Module):
             k_stream = reco if cfg.variant == "av_recovery" else feats
             bb_feats, bb_masks = HRLRBackbone(name="backbone", **bb_kw, **tr_kw,
                                               **hrlr_kw)(
-                feats, norm_x, k_stream, mask, train=train)
+                feats, norm_x, k_stream, mask, train=train,
+                reco_is_x=(cfg.variant != "av_recovery"))
         elif cfg.variant == "av_recovery_the":
             norm_x, seg_scores, cls_scores = SegmentAndCls(
                 num_classes=cfg.num_classes, normalize=False, name="interpolator",
@@ -143,7 +144,7 @@ class AVLocalizer(nn.Module):
             outputs["seg_scores"] = seg_scores
             bb_feats, bb_masks = HRLRBackbone(name="backbone", **bb_kw, **tr_kw,
                                               **hrlr_kw)(
-                feats, norm_x, feats, mask, train=train)
+                feats, norm_x, feats, mask, train=train, reco_is_x=True)
         elif cfg.variant == "plain":
             if cfg.backbone_type == "conv":
                 conv_kw = {k: v for k, v in bb_kw.items() if k != "max_len"}

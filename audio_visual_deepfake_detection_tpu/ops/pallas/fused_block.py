@@ -1,0 +1,321 @@
+"""Fused transformer-block kernel (Pallas/TPU): one VMEM residency per sample.
+
+The XLA lowering of a localizer block (models/blocks.py::TransformerBlock,
+reference blocks.py:1227-1317 + the attention zoo :199-1225) round-trips every
+intermediate — LN outputs, depthwise-conv outputs, q/k/v, the 2w+1 shifted
+k/v copies of the banded attention, the 4x MLP hidden — through HBM: ~2.7 GB
+of fusion traffic per full-length block at B=256. This kernel computes the
+whole block (pre-LN -> depthwise convs -> q/k/v dense -> banded attention ->
+proj -> residual -> LN -> MLP -> residual) for one sample per grid step with
+everything resident in VMEM: HBM traffic is one read of the input stream(s)
+and one write of the output.
+
+Design notes (TPU):
+- everything stays in 2D ``(T, C)`` layout (lane dim = channels). Mosaic
+  cannot reshape ``(T, C) -> (T, H, D)``, so per-head score reduction and
+  prob broadcast ride the MXU through one-hot ``(C, 128)`` / ``(128, C)``
+  matrices (head h = channels [h*D, (h+1)*D)) — trading a few small matmuls
+  for zero relayouts.
+- the banded attention is the shift formulation of ops/attention.py: one
+  score column per relative offset, finite -1e4 penalty on masked keys,
+  -1e30 (≈ -inf) outside the band/sequence, f32 streaming softmax, post-
+  softmax zeroing of invalid query rows (the reference NaN guard,
+  blocks.py:766-767).
+- norms/softmax compute in f32; matmuls run in the compute dtype with f32
+  accumulation; probabilities are downcast to the compute dtype before the
+  value contraction — matching the XLA mixed-precision path.
+
+Covers stride-1 self/cross blocks with banded attention (all eight full-T
+blocks and the five hh blocks of the HRLR backbone). Downsampling (stride-2)
+blocks and the dense-attention coarsest level keep the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_PENALTY = -1e4   # finite masked-kv penalty (reference blocks.py:753)
+NEG_INF = -1e30      # band/sequence edge: effectively -inf, NaN-safe
+LN_EPS = 1e-5
+
+# Flipped on by core.runtime.setup_jax when running on TPU
+# (AVDD_FUSED_BLOCK=0 disables). models/blocks.py::TransformerBlock consults
+# this to dispatch eligible eval-time blocks to the fused kernel.
+ENABLED = False
+
+# packed per-channel vector rows (all f32, shape (NV, C))
+ROW_LNQ_W, ROW_LNQ_B = 0, 1
+ROW_LNK_W, ROW_LNK_B = 2, 3
+ROW_LNV_W, ROW_LNV_B = 4, 5
+ROW_QCONV = 6   # 3 rows
+ROW_KCONV = 9
+ROW_VCONV = 12
+ROW_QN_W, ROW_QN_B = 15, 16
+ROW_KN_W, ROW_KN_B = 17, 18
+ROW_VN_W, ROW_VN_B = 19, 20
+ROW_Q_BIAS, ROW_K_BIAS, ROW_V_BIAS, ROW_P_BIAS = 21, 22, 23, 24
+ROW_SCALE_ATTN = 25
+ROW_LN2_W, ROW_LN2_B = 26, 27
+ROW_FC2_BIAS = 28
+ROW_SCALE_MLP = 29
+ROW_FC1_BIAS = 30  # 4 rows (hidden = 4C packed as (4, C))
+NUM_VEC_ROWS = 34
+
+
+def _erf(x):
+    """f32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic
+    has no erf/erfc primitive on the tensor core."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """0.5 x (1 + erf(x / sqrt(2))) in f32 (jax.nn.gelu approximate=False)."""
+    return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def _shift_rows(x, d):
+    """y[i, :] = x[i+d, :] with zero fill (axis -2)."""
+    if d == 0:
+        return x
+    t = x.shape[-2]
+    pad = [(0, 0)] * x.ndim
+    if d > 0:
+        pad[-2] = (0, d)
+        return jnp.pad(x[..., d:, :], pad)
+    pad[-2] = (-d, 0)
+    return jnp.pad(x[..., :t + d, :], pad)
+
+
+@functools.lru_cache(maxsize=16)
+def _head_mats_np(n_embd: int, n_head: int):
+    d_head = n_embd // n_head
+    c = np.arange(n_embd)
+    red = np.zeros((n_embd, 128), np.float32)
+    red[c, c // d_head] = 1.0
+    exp = np.zeros((128, n_embd), np.float32)
+    exp[c // d_head, c] = 1.0
+    return red, exp
+
+
+def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
+    """mode: 'self' (k = v = q stream), 'kv' (k = v = other stream),
+    'qv_k' (k = other stream, v = q stream)."""
+
+    def ln(x, vecs, row_w, row_b):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        r = xf - mu
+        s2 = jnp.mean(r * r, axis=-1, keepdims=True)
+        y = r * jax.lax.rsqrt(s2 + LN_EPS)
+        return y * vecs[row_w][None, :] + vecs[row_b][None, :]
+
+    def dwconv(x, vecs, row0, mvalid):
+        """Depthwise conv k=3, stride 1, zero pad; output masked."""
+        w0 = vecs[row0][None, :]
+        w1 = vecs[row0 + 1][None, :]
+        w2 = vecs[row0 + 2][None, :]
+        xf = x.astype(jnp.float32)
+        y = _shift_rows(xf, -1) * w0 + xf * w1 + _shift_rows(xf, 1) * w2
+        return y * mvalid
+
+    def kernel(x_ref, xo_ref, m_ref, vecs_ref, wq_ref, wk_ref, wv_ref,
+               wp_ref, wf1_ref, wf2_ref, red_ref, exp_ref, out_ref):
+        x = x_ref[0]                       # (T, C) cdtype
+        vecs = vecs_ref[...]               # (NV, C) f32
+        mvalid = m_ref[0].astype(jnp.float32)  # (T, 1)
+        pen = (mvalid - 1.0) * (-NEG_PENALTY)  # 0 valid / -1e4 masked
+
+        # --- pre-LN + depthwise convs + per-stream LN + dense q/k/v ---
+        if mode == "self":
+            lx = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+            lq = lk = lv = lx
+        else:
+            xo = xo_ref[0]
+            lq = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+            lk = ln(xo, vecs, ROW_LNK_W, ROW_LNK_B).astype(cdtype)
+            lv = (ln(x, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype)
+                  if mode == "qv_k" else
+                  ln(xo, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype))
+
+        q = ln(dwconv(lq, vecs, ROW_QCONV, mvalid).astype(cdtype),
+               vecs, ROW_QN_W, ROW_QN_B).astype(cdtype)
+        k = ln(dwconv(lk, vecs, ROW_KCONV, mvalid).astype(cdtype),
+               vecs, ROW_KN_W, ROW_KN_B).astype(cdtype)
+        v = ln(dwconv(lv, vecs, ROW_VCONV, mvalid).astype(cdtype),
+               vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
+
+        q = (jnp.dot(q, wq_ref[...], preferred_element_type=jnp.float32)
+             + vecs[ROW_Q_BIAS][None, :])
+        k = (jnp.dot(k, wk_ref[...], preferred_element_type=jnp.float32)
+             + vecs[ROW_K_BIAS][None, :])
+        v = (jnp.dot(v, wv_ref[...], preferred_element_type=jnp.float32)
+             + vecs[ROW_V_BIAS][None, :])
+        d_head = c // n_head
+        q = (q * (1.0 / np.sqrt(d_head))).astype(cdtype)
+        k = k.astype(cdtype)
+        v = v.astype(cdtype)
+
+        # --- banded attention: per-offset head-reduced scores ---
+        red = red_ref[...]                 # (C, 128) one-hot, cdtype
+        exp_m = exp_ref[...]               # (128, C) one-hot, cdtype
+        row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+        scores = []
+        for d in range(-w, w + 1):
+            e = q * _shift_rows(k, d)
+            s = jnp.dot(e, red, preferred_element_type=jnp.float32)
+            s = s + _shift_rows(pen, d)
+            ok = (row + d >= 0) & (row + d < t)
+            scores.append(jnp.where(ok, s, NEG_INF))
+        m = scores[0]
+        for s in scores[1:]:
+            m = jnp.maximum(m, s)
+        exps = [jnp.exp(s - m) for s in scores]
+        den = exps[0]
+        for e in exps[1:]:
+            den = den + e
+        inv = 1.0 / den
+        ctx = jnp.zeros((t, c), jnp.float32)
+        for i, d in enumerate(range(-w, w + 1)):
+            p = ((exps[i] * inv).astype(cdtype))
+            pb = jnp.dot(p, exp_m, preferred_element_type=jnp.float32
+                         ).astype(cdtype)
+            ctx = ctx + (pb * _shift_rows(v, d)).astype(jnp.float32)
+        # NaN guard: zero invalid query rows (blocks.py:766-767)
+        ctx = (ctx * mvalid).astype(cdtype)
+
+        # --- proj + residual (layer-scale) ---
+        att = (jnp.dot(ctx, wp_ref[...], preferred_element_type=jnp.float32)
+               + vecs[ROW_P_BIAS][None, :])
+        att = att * mvalid                 # masked conv-out semantics
+        y1 = (x.astype(jnp.float32) * mvalid
+              + att * vecs[ROW_SCALE_ATTN][None, :])
+
+        # --- conv-MLP ---
+        h = ln(y1, vecs, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
+        fc1_b = vecs[ROW_FC1_BIAS:ROW_FC1_BIAS + 4].reshape(1, 4 * c)
+        h = (jnp.dot(h, wf1_ref[...], preferred_element_type=jnp.float32)
+             + fc1_b)
+        h = _gelu_exact(h).astype(cdtype)
+        h = (jnp.dot(h, wf2_ref[...], preferred_element_type=jnp.float32)
+             + vecs[ROW_FC2_BIAS][None, :])
+        h = h * mvalid
+        y = y1 + h * vecs[ROW_SCALE_MLP][None, :]
+        out_ref[0] = y.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "w_overlap", "mode", "interpret"))
+def fused_transformer_block(
+    x: jnp.ndarray,            # (B, T, C) compute dtype
+    xo,                        # (B, T, C) other stream, or None (self mode)
+    mask: jnp.ndarray,         # (B, T) bool
+    vecs: jnp.ndarray,         # (NUM_VEC_ROWS, C) f32 packed vectors
+    wq, wk, wv, wp,            # (C, C) compute dtype
+    wf1, wf2,                  # (C, 4C), (4C, C) compute dtype
+    *,
+    n_head: int,
+    w_overlap: int,
+    mode: str,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, t, c = x.shape
+    cdtype = x.dtype
+    red_np, exp_np = _head_mats_np(c, n_head)
+    red = jnp.asarray(red_np, cdtype)
+    exp_m = jnp.asarray(exp_np, cdtype)
+    mrow = mask.astype(jnp.float32)[..., None]      # (B, T, 1)
+    if xo is None:
+        xo = x[:, :1, :1]                           # 1-element dummy
+
+    kernel = _make_kernel(t, c, n_head, w_overlap, mode, cdtype)
+    xspec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    xospec = (xspec if mode != "self" else
+              pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM))
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            xspec,
+            xospec,
+            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            wspec((NUM_VEC_ROWS, c)),
+            wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
+            wspec((c, 4 * c)), wspec((4 * c, c)),
+            wspec((c, 128)), wspec((128, c)),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), cdtype),
+        # the unrolled offsets keep several (T, C) f32 temporaries live at
+        # once; the f32 variant needs more than the 16 MB default scoped
+        # limit (v5e has 128 MB of physical VMEM per core)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, xo, mrow, vecs, wq, wk, wv, wp, wf1, wf2, red, exp_m)
+
+
+def pack_block_params(params, n_embd: int, cross: bool, cdtype):
+    """Pack a TransformerBlock param subtree (flax dict) into the kernel's
+    (vecs, wq, wk, wv, wp, wf1, wf2) inputs. Layout must match models/blocks.py
+    param names exactly."""
+    c = n_embd
+    attn = params["attn"]
+
+    def vec(p):
+        return jnp.asarray(p, jnp.float32).reshape(c)
+
+    if cross:
+        lnq_w, lnq_b = vec(params["lnq"]["weight"]), vec(params["lnq"]["bias"])
+        lnk_w, lnk_b = vec(params["lnk"]["weight"]), vec(params["lnk"]["bias"])
+        lnv_w, lnv_b = vec(params["lnv"]["weight"]), vec(params["lnv"]["bias"])
+    else:
+        lnq_w, lnq_b = vec(params["ln1"]["weight"]), vec(params["ln1"]["bias"])
+        lnk_w, lnk_b, lnv_w, lnv_b = lnq_w, lnq_b, lnq_w, lnq_b
+
+    def conv_taps(name):
+        kern = attn[name]["kernel"]                 # (3, 1, C)
+        return jnp.asarray(kern, jnp.float32).reshape(3, c)
+
+    rows = [
+        lnq_w, lnq_b, lnk_w, lnk_b, lnv_w, lnv_b,
+    ]
+    rows += list(conv_taps("query_conv"))
+    rows += list(conv_taps("key_conv"))
+    rows += list(conv_taps("value_conv"))
+    rows += [
+        vec(attn["query_norm"]["weight"]), vec(attn["query_norm"]["bias"]),
+        vec(attn["key_norm"]["weight"]), vec(attn["key_norm"]["bias"]),
+        vec(attn["value_norm"]["weight"]), vec(attn["value_norm"]["bias"]),
+        vec(attn["query"]["bias"]), vec(attn["key"]["bias"]),
+        vec(attn["value"]["bias"]), vec(attn["proj"]["bias"]),
+        vec(params["drop_path_attn"]["scale"]),
+        vec(params["ln2"]["weight"]), vec(params["ln2"]["bias"]),
+        vec(params["mlp_fc2"]["bias"]),
+        vec(params["drop_path_mlp"]["scale"]),
+    ]
+    fc1_b = jnp.asarray(params["mlp_fc1"]["bias"], jnp.float32).reshape(4, c)
+    vecs = jnp.concatenate([jnp.stack(rows), fc1_b], axis=0)
+
+    wq = jnp.asarray(attn["query"]["kernel"], cdtype)
+    wk = jnp.asarray(attn["key"]["kernel"], cdtype)
+    wv = jnp.asarray(attn["value"]["kernel"], cdtype)
+    wp = jnp.asarray(attn["proj"]["kernel"], cdtype)
+    wf1 = jnp.asarray(params["mlp_fc1"]["kernel"], cdtype)
+    wf2 = jnp.asarray(params["mlp_fc2"]["kernel"], cdtype)
+    return vecs, wq, wk, wv, wp, wf1, wf2

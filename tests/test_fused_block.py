@@ -1,0 +1,109 @@
+"""Fused transformer-block kernel (ops/pallas/fused_block.py) vs the standard
+flax/XLA path of models/blocks.py::TransformerBlock — identical params,
+identical inputs, every dispatch mode, full and partial masks.
+
+Runs the kernel in pallas interpret mode (CPU) — semantics-exact against the
+compiled TPU lowering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_visual_deepfake_detection_tpu.models.blocks import TransformerBlock
+from audio_visual_deepfake_detection_tpu.ops.pallas import fused_block
+
+B, T, C, H, WIN = 2, 48, 256, 4, 7
+
+
+def _mask(partial: bool):
+    m = np.ones((B, T), bool)
+    if partial:
+        m[0, 37:] = False
+        m[1, 11:] = False
+    return jnp.asarray(m)
+
+
+def _block(cross: bool):
+    return TransformerBlock(
+        n_embd=C, n_head=H, window_size=WIN, cross=cross,
+        path_pdrop=0.1, deterministic=True)
+
+
+@pytest.mark.parametrize("mode", ["self", "kv", "qv_k"])
+@pytest.mark.parametrize("partial", [False, True])
+def test_fused_block_matches_standard(rng, mode, partial):
+    cross = mode != "self"
+    block = _block(cross)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    xo = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mask = _mask(partial)
+    mf = mask.astype(jnp.float32)[..., None]
+    x = x * mf
+    xo = xo * mf
+
+    if mode == "self":
+        params = block.init(jax.random.PRNGKey(0), x, mask)
+        ref, ref_mask = block.apply(params, x, mask)
+        fused_xo = None
+    elif mode == "kv":
+        params = block.init(jax.random.PRNGKey(0), x, mask,
+                            x_k=xo, mask_k=mask, x_v=xo, mask_v=mask)
+        ref, ref_mask = block.apply(params, x, mask,
+                                    x_k=xo, mask_k=mask, x_v=xo, mask_v=mask)
+        fused_xo = xo
+    else:  # qv_k
+        params = block.init(jax.random.PRNGKey(0), x, mask,
+                            x_k=xo, mask_k=mask, x_v=x, mask_v=mask)
+        ref, ref_mask = block.apply(params, x, mask,
+                                    x_k=xo, mask_k=mask, x_v=x, mask_v=mask)
+        fused_xo = xo
+
+    # randomize the layer-scale params away from their 1e-4 init so the
+    # residual branches actually contribute
+    p = jax.tree_util.tree_map(lambda a: a, params["params"])
+    p = jax.device_get(p)
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    params = {"params": p}
+    if mode == "self":
+        ref, ref_mask = block.apply(params, x, mask)
+    elif mode == "kv":
+        ref, ref_mask = block.apply(params, x, mask,
+                                    x_k=xo, mask_k=mask, x_v=xo, mask_v=mask)
+    else:
+        ref, ref_mask = block.apply(params, x, mask,
+                                    x_k=xo, mask_k=mask, x_v=x, mask_v=mask)
+
+    packed = fused_block.pack_block_params(params["params"], C, cross, x.dtype)
+    got = fused_block.fused_transformer_block(
+        x, fused_xo, mask, *packed, n_head=H, w_overlap=WIN // 2,
+        mode=mode, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dispatch_through_module(rng, monkeypatch):
+    """With ENABLED on, TransformerBlock routes to the fused kernel (interpret
+    mode via monkeypatch) and matches the standard path."""
+    block = _block(cross=False)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mask = _mask(True)
+    x = x * mask.astype(jnp.float32)[..., None]
+    params = block.init(jax.random.PRNGKey(0), x, mask)
+    ref, _ = block.apply(params, x, mask)
+
+    orig = fused_block.fused_transformer_block
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused_block, "ENABLED", True)
+    monkeypatch.setattr(fused_block, "fused_transformer_block", interp)
+    got, got_mask = block.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert np.array_equal(np.asarray(got_mask), np.asarray(mask))
