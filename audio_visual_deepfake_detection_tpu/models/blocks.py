@@ -202,10 +202,13 @@ class TransformerBlock(nn.Module):
         # standard path below (identical math, golden-tested).
         fused_mode = xo = None
         if (_fused.ENABLED and deterministic and self.window_size > 1
-                and self.ds_stride == 1 and not self.use_rel_pe
+                and self.ds_stride in (1, 2) and not self.use_rel_pe
                 and not self.use_time_weight and pos_embd is None
                 and not self.is_initializing()):
-            if not self.cross:
+            if self.ds_stride == 2:
+                if not self.cross and x.shape[1] % 2 == 0:
+                    fused_mode = "ds_self"
+            elif not self.cross:
                 fused_mode = "self"
             elif x_v is x and mask_k is mask and mask_v is mask:
                 fused_mode, xo = "qv_k", x_k
@@ -214,10 +217,17 @@ class TransformerBlock(nn.Module):
         if fused_mode is not None:
             packed = _fused.pack_block_params(
                 self.variables["params"], c, self.cross, x.dtype)
+            if fused_mode == "ds_self":
+                # the kernel consumes the full-res stream pre-split into
+                # even/odd rows (Mosaic has no strided slice)
+                x_in, xo_in = x[:, 0::2], x[:, 1::2]
+                out_mask = mask[:, 0::2]
+            else:
+                x_in, xo_in, out_mask = x, xo, mask
             y = _fused.fused_transformer_block(
-                x, xo, mask, *packed, n_head=self.n_head,
+                x_in, xo_in, out_mask, *packed, n_head=self.n_head,
                 w_overlap=self.window_size // 2, mode=fused_mode)
-            return y, mask
+            return y, out_mask
 
         attn = ConvAttention(
             c, self.n_head,

@@ -26,8 +26,12 @@ Design notes (TPU):
   value contraction — matching the XLA mixed-precision path.
 
 Covers stride-1 self/cross blocks with banded attention (all eight full-T
-blocks and the five hh blocks of the HRLR backbone). Downsampling (stride-2)
-blocks and the dense-attention coarsest level keep the XLA path.
+blocks and the five hh blocks of the HRLR backbone) and stride-2
+downsampling self blocks (``ds_self``: the caller pre-splits the full-res
+stream into even/odd rows, the kernel composes the stride-2 depthwise convs
+and the MaxPool(k=3,s=2,p=1) skip path from the halves — four of the five
+pyramid branch blocks). Only the dense-attention coarsest level keeps the
+XLA path.
 """
 
 from __future__ import annotations
@@ -64,8 +68,10 @@ ROW_SCALE_ATTN = 25
 ROW_LN2_W, ROW_LN2_B = 26, 27
 ROW_FC2_BIAS = 28
 ROW_SCALE_MLP = 29
-ROW_FC1_BIAS = 30  # 4 rows (hidden = 4C packed as (4, C))
-NUM_VEC_ROWS = 34
+NUM_VEC_ROWS = 30
+# fc1 bias (length 4C) travels as its own (1, 4C) input: building it from
+# (4, C) vec rows needs a (4,C)->(1,4C) shape cast Mosaic only supports
+# when C is lane-aligned (failed at C=16).
 
 
 def _erf(x):
@@ -111,7 +117,9 @@ def _head_mats_np(n_embd: int, n_head: int):
 
 def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
     """mode: 'self' (k = v = q stream), 'kv' (k = v = other stream),
-    'qv_k' (k = other stream, v = q stream)."""
+    'qv_k' (k = other stream, v = q stream), 'ds_self' (stride-2 self block:
+    x_ref/xo_ref carry the even/odd rows of the full-res stream, t is the
+    downsampled length)."""
 
     def ln(x, vecs, row_w, row_b):
         xf = x.astype(jnp.float32)
@@ -131,30 +139,55 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         return y * mvalid
 
     def kernel(x_ref, xo_ref, m_ref, vecs_ref, wq_ref, wk_ref, wv_ref,
-               wp_ref, wf1_ref, wf2_ref, red_ref, exp_ref, out_ref):
+               wp_ref, wf1_ref, wf2_ref, fc1b_ref, red_ref, exp_ref, out_ref):
         x = x_ref[0]                       # (T, C) cdtype
         vecs = vecs_ref[...]               # (NV, C) f32
         mvalid = m_ref[0].astype(jnp.float32)  # (T, 1)
         pen = (mvalid - 1.0) * (-NEG_PENALTY)  # 0 valid / -1e4 masked
 
         # --- pre-LN + depthwise convs + per-stream LN + dense q/k/v ---
-        if mode == "self":
-            lx = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
-            lq = lk = lv = lx
-        else:
-            xo = xo_ref[0]
-            lq = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
-            lk = ln(xo, vecs, ROW_LNK_W, ROW_LNK_B).astype(cdtype)
-            lv = (ln(x, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype)
-                  if mode == "qv_k" else
-                  ln(xo, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype))
+        if mode == "ds_self":
+            # stride-2 block: x_ref = even rows, xo_ref = odd rows. Channel LN
+            # is per-position, so LN(full)[::2] == LN(even) etc.; the stride-2
+            # depthwise conv composes from the halves:
+            #   y[i] = w0*x[2i-1] + w1*x[2i] + w2*x[2i+1]
+            #        = w0*odd[i-1] + w1*even[i] + w2*odd[i]
+            xe, xod = x, xo_ref[0]
+            le = ln(xe, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+            lo = ln(xod, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
 
-        q = ln(dwconv(lq, vecs, ROW_QCONV, mvalid).astype(cdtype),
-               vecs, ROW_QN_W, ROW_QN_B).astype(cdtype)
-        k = ln(dwconv(lk, vecs, ROW_KCONV, mvalid).astype(cdtype),
-               vecs, ROW_KN_W, ROW_KN_B).astype(cdtype)
-        v = ln(dwconv(lv, vecs, ROW_VCONV, mvalid).astype(cdtype),
-               vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
+            def dwconv2(row0):
+                w0 = vecs[row0][None, :]
+                w1 = vecs[row0 + 1][None, :]
+                w2 = vecs[row0 + 2][None, :]
+                ef, of = le.astype(jnp.float32), lo.astype(jnp.float32)
+                y = _shift_rows(of, -1) * w0 + ef * w1 + of * w2
+                return y * mvalid
+
+            q = ln(dwconv2(ROW_QCONV).astype(cdtype),
+                   vecs, ROW_QN_W, ROW_QN_B).astype(cdtype)
+            k = ln(dwconv2(ROW_KCONV).astype(cdtype),
+                   vecs, ROW_KN_W, ROW_KN_B).astype(cdtype)
+            v = ln(dwconv2(ROW_VCONV).astype(cdtype),
+                   vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
+        else:
+            if mode == "self":
+                lx = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+                lq = lk = lv = lx
+            else:
+                xo = xo_ref[0]
+                lq = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+                lk = ln(xo, vecs, ROW_LNK_W, ROW_LNK_B).astype(cdtype)
+                lv = (ln(x, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype)
+                      if mode == "qv_k" else
+                      ln(xo, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype))
+
+            q = ln(dwconv(lq, vecs, ROW_QCONV, mvalid).astype(cdtype),
+                   vecs, ROW_QN_W, ROW_QN_B).astype(cdtype)
+            k = ln(dwconv(lk, vecs, ROW_KCONV, mvalid).astype(cdtype),
+                   vecs, ROW_KN_W, ROW_KN_B).astype(cdtype)
+            v = ln(dwconv(lv, vecs, ROW_VCONV, mvalid).astype(cdtype),
+                   vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
 
         q = (jnp.dot(q, wq_ref[...], preferred_element_type=jnp.float32)
              + vecs[ROW_Q_BIAS][None, :])
@@ -199,14 +232,22 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         att = (jnp.dot(ctx, wp_ref[...], preferred_element_type=jnp.float32)
                + vecs[ROW_P_BIAS][None, :])
         att = att * mvalid                 # masked conv-out semantics
-        y1 = (x.astype(jnp.float32) * mvalid
-              + att * vecs[ROW_SCALE_ATTN][None, :])
+        if mode == "ds_self":
+            # skip path = MaxPool1d(k=3, s=2, p=1) over the full-res stream
+            # (blocks.py:1277-1283; -inf padding)
+            ef = x.astype(jnp.float32)
+            of = xo_ref[0].astype(jnp.float32)
+            om1 = _shift_rows(of, -1)
+            om1 = jnp.where(row == 0, -jnp.inf, om1)
+            skip = jnp.maximum(jnp.maximum(om1, ef), of)
+        else:
+            skip = x.astype(jnp.float32)
+        y1 = skip * mvalid + att * vecs[ROW_SCALE_ATTN][None, :]
 
         # --- conv-MLP ---
         h = ln(y1, vecs, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
-        fc1_b = vecs[ROW_FC1_BIAS:ROW_FC1_BIAS + 4].reshape(1, 4 * c)
         h = (jnp.dot(h, wf1_ref[...], preferred_element_type=jnp.float32)
-             + fc1_b)
+             + fc1b_ref[...])
         h = _gelu_exact(h).astype(cdtype)
         h = (jnp.dot(h, wf2_ref[...], preferred_element_type=jnp.float32)
              + vecs[ROW_FC2_BIAS][None, :])
@@ -227,6 +268,7 @@ def fused_transformer_block(
     vecs: jnp.ndarray,         # (NUM_VEC_ROWS, C) f32 packed vectors
     wq, wk, wv, wp,            # (C, C) compute dtype
     wf1, wf2,                  # (C, 4C), (4C, C) compute dtype
+    fc1b,                      # (1, 4C) f32 fc1 bias
     *,
     n_head: int,
     w_overlap: int,
@@ -258,6 +300,7 @@ def fused_transformer_block(
             wspec((NUM_VEC_ROWS, c)),
             wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
             wspec((c, 4 * c)), wspec((4 * c, c)),
+            wspec((1, 4 * c)),
             wspec((c, 128)), wspec((128, c)),
         ],
         out_specs=xspec,
@@ -267,12 +310,12 @@ def fused_transformer_block(
         # limit (v5e has 128 MB of physical VMEM per core)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, xo, mrow, vecs, wq, wk, wv, wp, wf1, wf2, red, exp_m)
+    )(x, xo, mrow, vecs, wq, wk, wv, wp, wf1, wf2, fc1b, red, exp_m)
 
 
 def pack_block_params(params, n_embd: int, cross: bool, cdtype):
     """Pack a TransformerBlock param subtree (flax dict) into the kernel's
-    (vecs, wq, wk, wv, wp, wf1, wf2) inputs. Layout must match models/blocks.py
+    (vecs, wq, wk, wv, wp, wf1, wf2, fc1b) inputs. Layout must match models/blocks.py
     param names exactly."""
     c = n_embd
     attn = params["attn"]
@@ -309,8 +352,8 @@ def pack_block_params(params, n_embd: int, cross: bool, cdtype):
         vec(params["mlp_fc2"]["bias"]),
         vec(params["drop_path_mlp"]["scale"]),
     ]
-    fc1_b = jnp.asarray(params["mlp_fc1"]["bias"], jnp.float32).reshape(4, c)
-    vecs = jnp.concatenate([jnp.stack(rows), fc1_b], axis=0)
+    vecs = jnp.stack(rows)
+    fc1b = jnp.asarray(params["mlp_fc1"]["bias"], jnp.float32).reshape(1, 4 * c)
 
     wq = jnp.asarray(attn["query"]["kernel"], cdtype)
     wk = jnp.asarray(attn["key"]["kernel"], cdtype)
@@ -318,4 +361,4 @@ def pack_block_params(params, n_embd: int, cross: bool, cdtype):
     wp = jnp.asarray(attn["proj"]["kernel"], cdtype)
     wf1 = jnp.asarray(params["mlp_fc1"]["kernel"], cdtype)
     wf2 = jnp.asarray(params["mlp_fc2"]["kernel"], cdtype)
-    return vecs, wq, wk, wv, wp, wf1, wf2
+    return vecs, wq, wk, wv, wp, wf1, wf2, fc1b

@@ -142,6 +142,20 @@ def nearest_resample_time(x: jnp.ndarray, out_len: int, axis: int = -2) -> jnp.n
     in_len = x.shape[axis]
     if in_len == out_len:
         return x
+    ax = axis % x.ndim
+    if out_len % in_len == 0:
+        # integer upsample: idx[j] = floor(j*in/out) = j // r — a pure
+        # broadcast+reshape, no gather (gathers lower poorly on TPU)
+        r = out_len // in_len
+        y = jnp.expand_dims(x, ax + 1)
+        y = jnp.broadcast_to(y, y.shape[:ax + 1] + (r,) + y.shape[ax + 2:])
+        return y.reshape(x.shape[:ax] + (out_len,) + x.shape[ax + 1:])
+    if in_len % out_len == 0:
+        # integer downsample: idx[j] = j * r — a strided slice
+        r = in_len // out_len
+        idx = [slice(None)] * x.ndim
+        idx[ax] = slice(0, in_len, r)
+        return x[tuple(idx)]
     idx = np.floor(np.arange(out_len, dtype=np.float64) * in_len / out_len)
     idx = np.minimum(idx, in_len - 1).astype(np.int32)
     return jnp.take(x, jnp.asarray(idx), axis=axis)

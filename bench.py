@@ -55,7 +55,10 @@ def measure_ours() -> float:
     infer_fn = build_inference_fn(cfg, test_cfg)
 
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.standard_normal((BATCH, SEQ, DIM), dtype=np.float32))
+    # features arrive on device in the transfer dtype, exactly like the CLI
+    # (inference.py ships bf16 over the wire when compute_dtype=bfloat16)
+    feats = jnp.asarray(rng.standard_normal((BATCH, SEQ, DIM), dtype=np.float32),
+                        jnp.dtype(cfg.compute_dtype))
     mask = jnp.ones((BATCH, SEQ), bool)
     fps = jnp.full((BATCH,), 25.0)
     dur = jnp.full((BATCH,), 9.6)

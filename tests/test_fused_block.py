@@ -85,6 +85,30 @@ def test_fused_block_matches_standard(rng, mode, partial):
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("partial", [False, True])
+def test_fused_ds_block_matches_standard(rng, partial):
+    """Stride-2 downsampling self block (ds_self mode)."""
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                             ds_stride=2, path_pdrop=0.1, deterministic=True)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mask = _mask(partial)
+    x = x * mask.astype(jnp.float32)[..., None]
+    params = block.init(jax.random.PRNGKey(0), x, mask)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    params = {"params": p}
+    ref, ref_mask = block.apply(params, x, mask)
+
+    packed = fused_block.pack_block_params(params["params"], C, False, x.dtype)
+    got = fused_block.fused_transformer_block(
+        x[:, 0::2], x[:, 1::2], mask[:, 0::2], *packed, n_head=H,
+        w_overlap=WIN // 2, mode="ds_self", interpret=True)
+    assert np.array_equal(np.asarray(ref_mask), np.asarray(mask[:, 0::2]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_dispatch_through_module(rng, monkeypatch):
     """With ENABLED on, TransformerBlock routes to the fused kernel (interpret
     mode via monkeypatch) and matches the standard path."""
