@@ -39,3 +39,7 @@ def setup_jax(cache_dir: str | None = None) -> None:
         from ..ops.pallas import fused_block
 
         fused_block.ENABLED = True
+        # training-path dispatch is opt-in: measured slower than the
+        # standard remat path at production shapes (see fused_block.py)
+        if os.environ.get("AVDD_FUSED_TRAIN", "0") == "1":
+            fused_block.TRAIN_ENABLED = True

@@ -23,6 +23,7 @@ from ..ops.conv import MaskedConv1D
 from ..ops.norm import ChannelLayerNorm
 from ..ops.pe import sinusoid_encoding
 from ..ops.resample import linear_resample_time, nearest_resample_time
+from ..ops.pallas import fused_block as _fused
 from .blocks import TransformerBlock
 
 
@@ -163,8 +164,22 @@ class HRLRBackbone(nn.Module):
         )
         # activation checkpointing: recompute block activations in the
         # backward pass instead of keeping them (enables much larger train
-        # batches; the block call signature is array-only for this reason)
-        Block = nn.remat(TransformerBlock) if self.remat and train             else TransformerBlock
+        # batches; the block call signature is array-only for this reason).
+        # Blocks the fused-kernel train path covers already save only their
+        # inputs (its custom_vjp backward recomputes via the jnp mirror), so
+        # wrapping them in nn.remat would just re-run the pallas forward in
+        # the backward — skip remat for those.
+        fused_train = (_fused.ENABLED and _fused.TRAIN_ENABLED and train
+                       and self.attn_pdrop == 0.0 and self.proj_pdrop == 0.0
+                       and not self.use_rel_pe and not self.use_time_weight)
+
+        def pick_block(window_size, even_t=True):
+            if (self.remat and train
+                    and not (fused_train and window_size > 1 and even_t)):
+                return nn.remat(TransformerBlock)
+            return TransformerBlock
+
+        Block = pick_block(self.mha_win_size[0])
         x, _ = Block(window_size=self.mha_win_size[0], cross=True,
                      name="res_self_attn", **block_kw)(
             x, mask, x_k=reco_x, mask_k=mask, x_v=x, mask_v=mask)
@@ -178,9 +193,12 @@ class HRLRBackbone(nn.Module):
         out_masks = [lh_mask]
         full_t = x.shape[1]
         for i in range(self.arch[2]):
-            x, mask = Block(ds_stride=self.scale_factor,
-                            window_size=self.mha_win_size[1 + i],
-                            name=f"branch_{i}", **block_kw)(x, mask)
+            DsBlock = pick_block(self.mha_win_size[1 + i],
+                                 even_t=x.shape[1] % self.scale_factor == 0
+                                 and self.scale_factor == 2)
+            x, mask = DsBlock(ds_stride=self.scale_factor,
+                              window_size=self.mha_win_size[1 + i],
+                              name=f"branch_{i}", **block_kw)(x, mask)
             up = nearest_resample_time(x, full_t, axis=1)
             lh_feat, lh_mask = Block(window_size=self.mha_win_size[0],
                                      cross=True, name=f"lh_branch_{i}",

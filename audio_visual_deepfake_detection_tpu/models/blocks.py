@@ -196,12 +196,18 @@ class TransformerBlock(nn.Module):
         deterministic = self.deterministic
         c = self.n_embd
 
-        # fused-kernel fast path (TPU, eval): whole block in one VMEM
-        # residency — see ops/pallas/fused_block.py. Covers every stride-1
-        # banded block of the HRLR backbone; init and training use the
-        # standard path below (identical math, golden-tested).
+        # fused-kernel fast path (TPU): whole block in one VMEM residency —
+        # see ops/pallas/fused_block.py. Covers every stride-1 banded block
+        # of the HRLR backbone (and the stride-2 branch blocks). At eval the
+        # kernel runs alone; in training (custom_vjp) the backward is the
+        # XLA vjp of the jnp mirror with droppath folded in as per-sample
+        # coefficients — only attn/proj dropout (0 in every production
+        # config) forces the standard path. Init uses the standard path.
+        train_ok = (_fused.TRAIN_ENABLED
+                    and self.attn_pdrop == 0.0 and self.proj_pdrop == 0.0)
         fused_mode = xo = None
-        if (_fused.ENABLED and deterministic and self.window_size > 1
+        if (_fused.ENABLED and (deterministic or train_ok)
+                and self.window_size > 1
                 and self.ds_stride in (1, 2) and not self.use_rel_pe
                 and not self.use_time_weight and pos_embd is None
                 and not self.is_initializing()):
@@ -224,9 +230,23 @@ class TransformerBlock(nn.Module):
                 out_mask = mask[:, 0::2]
             else:
                 x_in, xo_in, out_mask = x, xo, mask
-            y = _fused.fused_transformer_block(
-                x_in, xo_in, out_mask, *packed, n_head=self.n_head,
-                w_overlap=self.window_size // 2, mode=fused_mode)
+            if deterministic:
+                y = _fused.fused_transformer_block(
+                    x_in, xo_in, out_mask, *packed, n_head=self.n_head,
+                    w_overlap=self.window_size // 2, mode=fused_mode)
+            else:
+                b = x_in.shape[0]
+                if self.path_pdrop > 0.0:
+                    keep = 1.0 - self.path_pdrop
+                    u = jax.random.uniform(self.make_rng("dropout"), (b, 2),
+                                           x_in.dtype)
+                    coefs = (jnp.floor(keep + u) / keep).astype(jnp.float32)
+                else:
+                    coefs = jnp.ones((b, 2), jnp.float32)
+                y = _fused.fused_transformer_block_train(
+                    x_in, xo_in, out_mask, coefs, *packed,
+                    n_head=self.n_head, w_overlap=self.window_size // 2,
+                    mode=fused_mode)
             return y, out_mask
 
         attn = ConvAttention(

@@ -53,6 +53,14 @@ LN_EPS = 1e-5
 # this to dispatch eligible eval-time blocks to the fused kernel.
 ENABLED = False
 
+# Training-path dispatch (custom_vjp: pallas forward + jnp-mirror XLA
+# backward). Measured SLOWER than the standard nn.remat path at production
+# shapes (B=128 bf16: 429 vs 296 ms/step — the custom-call boundaries block
+# XLA's cross-block fusion/scheduling in the backward program) and OOMs at
+# B=256, so it is opt-in (AVDD_FUSED_TRAIN=1): correctness is fully tested
+# (grad parity + droppath behavior in tests/test_fused_block.py).
+TRAIN_ENABLED = False
+
 # packed per-channel vector rows (all f32, shape (NV, C))
 ROW_LNQ_W, ROW_LNQ_B = 0, 1
 ROW_LNK_W, ROW_LNK_B = 2, 3
@@ -75,15 +83,22 @@ NUM_VEC_ROWS = 30
 
 
 def _erf(x):
-    """f32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic
-    has no erf/erfc primitive on the tensor core."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    """f32 erf as the Eigen rational approximation x*alpha(x^2)/beta(x^2)
+    with x clamped to [-4, 4] (max abs err ~5e-7, validated vs lax.erf) —
+    Mosaic has no erf primitive, and this form needs no exp/sign/abs, so it
+    is ~2x cheaper on the VPU than the Abramowitz-Stegun form."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    a = jnp.float32(-2.72614225801306e-10)
+    for cc in (2.77068142495902e-08, -2.10102402082508e-06,
+               -5.69250639462346e-05, -7.34990630326855e-04,
+               -2.95459980854025e-03, -1.60960333262415e-02):
+        a = a * x2 + jnp.float32(cc)
+    b = jnp.float32(-1.45660718464996e-05)
+    for cc in (-2.13374055278905e-04, -1.68282697438203e-03,
+               -7.37332916720468e-03, -1.42647390514189e-02):
+        b = b * x2 + jnp.float32(cc)
+    return x * a / b
 
 
 def _gelu_exact(x):
@@ -138,12 +153,18 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         y = _shift_rows(xf, -1) * w0 + xf * w1 + _shift_rows(xf, 1) * w2
         return y * mvalid
 
-    def kernel(x_ref, xo_ref, m_ref, vecs_ref, wq_ref, wk_ref, wv_ref,
-               wp_ref, wf1_ref, wf2_ref, fc1b_ref, red_ref, exp_ref, out_ref):
+    def kernel(x_ref, xo_ref, m_ref, coef_ref, vecs_ref, wq_ref, wk_ref,
+               wv_ref, wp_ref, wf1_ref, wf2_ref, fc1b_ref, red_ref, exp_ref,
+               out_ref):
         x = x_ref[0]                       # (T, C) cdtype
         vecs = vecs_ref[...]               # (NV, C) f32
         mvalid = m_ref[0].astype(jnp.float32)  # (T, 1)
         pen = (mvalid - 1.0) * (-NEG_PENALTY)  # 0 valid / -1e4 masked
+        # per-sample droppath coefficients (whole-array SMEM, indexed by the
+        # grid step): 1.0 at eval, {0, 1/keep} per residual branch in training
+        i = pl.program_id(0)
+        coef_attn = coef_ref[i, 0]
+        coef_mlp = coef_ref[i, 1]
 
         # --- pre-LN + depthwise convs + per-stream LN + dense q/k/v ---
         if mode == "ds_self":
@@ -242,7 +263,7 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
             skip = jnp.maximum(jnp.maximum(om1, ef), of)
         else:
             skip = x.astype(jnp.float32)
-        y1 = skip * mvalid + att * vecs[ROW_SCALE_ATTN][None, :]
+        y1 = skip * mvalid + att * (vecs[ROW_SCALE_ATTN][None, :] * coef_attn)
 
         # --- conv-MLP ---
         h = ln(y1, vecs, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
@@ -252,7 +273,7 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         h = (jnp.dot(h, wf2_ref[...], preferred_element_type=jnp.float32)
              + vecs[ROW_FC2_BIAS][None, :])
         h = h * mvalid
-        y = y1 + h * vecs[ROW_SCALE_MLP][None, :]
+        y = y1 + h * (vecs[ROW_SCALE_MLP][None, :] * coef_mlp)
         out_ref[0] = y.astype(out_ref.dtype)
 
     return kernel
@@ -274,6 +295,7 @@ def fused_transformer_block(
     w_overlap: int,
     mode: str,
     interpret: bool = False,
+    coefs=None,                # (B, 2) f32 droppath coefs, or None (ones)
 ) -> jnp.ndarray:
     b, t, c = x.shape
     cdtype = x.dtype
@@ -283,6 +305,8 @@ def fused_transformer_block(
     mrow = mask.astype(jnp.float32)[..., None]      # (B, T, 1)
     if xo is None:
         xo = x[:, :1, :1]                           # 1-element dummy
+    if coefs is None:
+        coefs = jnp.ones((b, 2), jnp.float32)
 
     kernel = _make_kernel(t, c, n_head, w_overlap, mode, cdtype)
     xspec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -297,6 +321,7 @@ def fused_transformer_block(
             xspec,
             xospec,
             pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             wspec((NUM_VEC_ROWS, c)),
             wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
             wspec((c, 4 * c)), wspec((4 * c, c)),
@@ -310,7 +335,161 @@ def fused_transformer_block(
         # limit (v5e has 128 MB of physical VMEM per core)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, xo, mrow, vecs, wq, wk, wv, wp, wf1, wf2, fc1b, red, exp_m)
+    )(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b, red, exp_m)
+
+
+def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
+               *, n_head: int, w_overlap: int, mode: str) -> jnp.ndarray:
+    """Pure-jnp mirror of the kernel math on batched ``(B, T, C)`` inputs —
+    op-for-op and dtype-for-dtype the same computation, so its ``jax.vjp`` is
+    the correct backward for the kernel. Used as the recompute path of
+    ``fused_transformer_block_train`` (remat semantics: only the inputs are
+    saved; XLA materializes one block's intermediates during its backward)."""
+    w = w_overlap
+    cdtype = x.dtype
+    b, t, c = x.shape
+    red_np, exp_np = _head_mats_np(c, n_head)
+    red = jnp.asarray(red_np, cdtype)
+    exp_m = jnp.asarray(exp_np, cdtype)
+    mvalid = mrow                                    # (B, T, 1) f32
+    pen = (mvalid - 1.0) * (-NEG_PENALTY)
+    coef_attn = coefs[:, 0][:, None, None]           # (B, 1, 1)
+    coef_mlp = coefs[:, 1][:, None, None]
+
+    def ln(xx, row_w, row_b):
+        xf = xx.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        r = xf - mu
+        s2 = jnp.mean(r * r, axis=-1, keepdims=True)
+        y = r * jax.lax.rsqrt(s2 + LN_EPS)
+        return y * vecs[row_w][None, None, :] + vecs[row_b][None, None, :]
+
+    def dwconv(xx, row0):
+        w0 = vecs[row0][None, None, :]
+        w1 = vecs[row0 + 1][None, None, :]
+        w2 = vecs[row0 + 2][None, None, :]
+        xf = xx.astype(jnp.float32)
+        y = _shift_rows(xf, -1) * w0 + xf * w1 + _shift_rows(xf, 1) * w2
+        return y * mvalid
+
+    if mode == "ds_self":
+        le = ln(x, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+        lo = ln(xo, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+
+        def dwconv2(row0):
+            w0 = vecs[row0][None, None, :]
+            w1 = vecs[row0 + 1][None, None, :]
+            w2 = vecs[row0 + 2][None, None, :]
+            ef, of = le.astype(jnp.float32), lo.astype(jnp.float32)
+            y = _shift_rows(of, -1) * w0 + ef * w1 + of * w2
+            return y * mvalid
+
+        q = ln(dwconv2(ROW_QCONV).astype(cdtype), ROW_QN_W, ROW_QN_B).astype(cdtype)
+        k = ln(dwconv2(ROW_KCONV).astype(cdtype), ROW_KN_W, ROW_KN_B).astype(cdtype)
+        v = ln(dwconv2(ROW_VCONV).astype(cdtype), ROW_VN_W, ROW_VN_B).astype(cdtype)
+    else:
+        if mode == "self":
+            lq = lk = lv = ln(x, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+        else:
+            lq = ln(x, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
+            lk = ln(xo, ROW_LNK_W, ROW_LNK_B).astype(cdtype)
+            lv = (ln(x, ROW_LNV_W, ROW_LNV_B).astype(cdtype)
+                  if mode == "qv_k" else
+                  ln(xo, ROW_LNV_W, ROW_LNV_B).astype(cdtype))
+        q = ln(dwconv(lq, ROW_QCONV).astype(cdtype), ROW_QN_W, ROW_QN_B).astype(cdtype)
+        k = ln(dwconv(lk, ROW_KCONV).astype(cdtype), ROW_KN_W, ROW_KN_B).astype(cdtype)
+        v = ln(dwconv(lv, ROW_VCONV).astype(cdtype), ROW_VN_W, ROW_VN_B).astype(cdtype)
+
+    q = jnp.dot(q, wq, preferred_element_type=jnp.float32) + vecs[ROW_Q_BIAS]
+    k = jnp.dot(k, wk, preferred_element_type=jnp.float32) + vecs[ROW_K_BIAS]
+    v = jnp.dot(v, wv, preferred_element_type=jnp.float32) + vecs[ROW_V_BIAS]
+    d_head = c // n_head
+    q = (q * (1.0 / np.sqrt(d_head))).astype(cdtype)
+    k = k.astype(cdtype)
+    v = v.astype(cdtype)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    scores = []
+    for d in range(-w, w + 1):
+        e = q * _shift_rows(k, d)
+        s = jnp.dot(e, red, preferred_element_type=jnp.float32)
+        s = s + _shift_rows(pen, d)
+        ok = (row + d >= 0) & (row + d < t)
+        scores.append(jnp.where(ok[None], s, NEG_INF))
+    m = scores[0]
+    for s in scores[1:]:
+        m = jnp.maximum(m, s)
+    exps = [jnp.exp(s - m) for s in scores]
+    den = exps[0]
+    for e in exps[1:]:
+        den = den + e
+    inv = 1.0 / den
+    ctx = jnp.zeros((b, t, c), jnp.float32)
+    for i, d in enumerate(range(-w, w + 1)):
+        p = (exps[i] * inv).astype(cdtype)
+        pb = jnp.dot(p, exp_m, preferred_element_type=jnp.float32).astype(cdtype)
+        ctx = ctx + (pb * _shift_rows(v, d)).astype(jnp.float32)
+    ctx = (ctx * mvalid).astype(cdtype)
+
+    att = jnp.dot(ctx, wp, preferred_element_type=jnp.float32) + vecs[ROW_P_BIAS]
+    att = att * mvalid
+    if mode == "ds_self":
+        ef = x.astype(jnp.float32)
+        of = xo.astype(jnp.float32)
+        om1 = _shift_rows(of, -1)
+        om1 = jnp.where(row[None] == 0, -jnp.inf, om1)
+        skip = jnp.maximum(jnp.maximum(om1, ef), of)
+    else:
+        skip = x.astype(jnp.float32)
+    y1 = skip * mvalid + att * (vecs[ROW_SCALE_ATTN][None, None, :] * coef_attn)
+
+    h = ln(y1, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
+    h = jnp.dot(h, wf1, preferred_element_type=jnp.float32) + fc1b[0]
+    h = _gelu_exact(h).astype(cdtype)
+    h = jnp.dot(h, wf2, preferred_element_type=jnp.float32) + vecs[ROW_FC2_BIAS]
+    h = h * mvalid
+    y = y1 + h * (vecs[ROW_SCALE_MLP][None, None, :] * coef_mlp)
+    return y.astype(cdtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _trainable_block(n_head: int, w_overlap: int, mode: str, interpret: bool):
+    """custom_vjp wrapper: forward = the pallas kernel, backward = jax.vjp of
+    the jnp mirror (recomputes the forward in XLA — remat semantics, so the
+    training memory profile matches activation checkpointing)."""
+
+    @jax.custom_vjp
+    def f(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b):
+        mask = mrow[..., 0] > 0.5
+        return fused_transformer_block(
+            x, xo, mask, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
+            n_head=n_head, w_overlap=w_overlap, mode=mode,
+            interpret=interpret, coefs=coefs)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: block_math(*a, n_head=n_head, w_overlap=w_overlap,
+                                  mode=mode), *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def fused_transformer_block_train(
+        x, xo, mask, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
+        *, n_head: int, w_overlap: int, mode: str, interpret: bool = False):
+    """Differentiable fused block: pallas forward + XLA-recompute backward.
+    ``coefs`` is the (B, 2) per-sample droppath coefficient pair
+    (attn branch, mlp branch): 1.0 deterministic, {0, 1/keep} stochastic."""
+    mrow = mask.astype(jnp.float32)[..., None]
+    if xo is None:
+        xo = x[:, :1, :1]
+    return _trainable_block(n_head, w_overlap, mode, interpret)(
+        x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b)
 
 
 def pack_block_params(params, n_embd: int, cross: bool, cdtype):

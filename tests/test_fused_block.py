@@ -131,3 +131,134 @@ def test_dispatch_through_module(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
     assert np.array_equal(np.asarray(got_mask), np.asarray(mask))
+
+
+@pytest.mark.parametrize("mode", ["self", "kv", "qv_k", "ds_self"])
+def test_block_math_matches_kernel_with_coefs(rng, mode):
+    """block_math (the custom_vjp recompute path) == the pallas kernel for
+    random droppath coefs, partial mask."""
+    mask = _mask(True)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    xo = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mf = mask.astype(jnp.float32)[..., None]
+    x, xo = x * mf, xo * mf
+    cross = mode in ("kv", "qv_k")
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                             ds_stride=2 if mode == "ds_self" else 1,
+                             cross=cross, deterministic=True)
+    kw = ({} if not cross else
+          dict(x_k=xo, mask_k=mask, x_v=xo if mode == "kv" else x,
+               mask_v=mask))
+    params = block.init(jax.random.PRNGKey(0), x, mask, **kw)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    packed = fused_block.pack_block_params(p, C, cross, x.dtype)
+    coefs = jnp.asarray(rng.choice([0.0, 1.0, 2.0], (B, 2)), jnp.float32)
+
+    if mode == "ds_self":
+        args = (x[:, 0::2], x[:, 1::2], mask[:, 0::2])
+    else:
+        args = (x, xo if cross else None, mask)
+    got = fused_block.fused_transformer_block(
+        *args, *packed, n_head=H, w_overlap=WIN // 2, mode=mode,
+        interpret=True, coefs=coefs)
+    x_in, xo_in, m_in = args
+    if xo_in is None:
+        xo_in = x_in[:, :1, :1]
+    ref = fused_block.block_math(
+        x_in, xo_in, m_in.astype(jnp.float32)[..., None], coefs, *packed,
+        n_head=H, w_overlap=WIN // 2, mode=mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_train_dispatch_grads_match_standard(rng, monkeypatch):
+    """Training-path dispatch (custom_vjp: pallas fwd + jnp-mirror bwd) gives
+    the same param/input grads as the standard flax path (droppath off)."""
+    def make(det):
+        return TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                                path_pdrop=0.0, deterministic=det)
+
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mask = _mask(True)
+    x = x * mask.astype(jnp.float32)[..., None]
+    params = make(True).init(jax.random.PRNGKey(0), x, mask)
+    g = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+
+    def loss_standard(params, x):
+        y, _ = make(False).apply(params, x, mask,
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(y * g)
+
+    ref_gp, ref_gx = jax.grad(loss_standard, argnums=(0, 1))(params, x)
+
+    orig = fused_block.fused_transformer_block_train
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused_block, "ENABLED", True)
+    monkeypatch.setattr(fused_block, "TRAIN_ENABLED", True)
+    monkeypatch.setattr(fused_block, "fused_transformer_block_train", interp)
+
+    def loss_fused(params, x):
+        y, _ = make(False).apply(params, x, mask,
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(y * g)
+
+    got_gp, got_gx = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               rtol=2e-4, atol=2e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_gp)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got_gp))
+    for path, leaf in flat_ref:
+        scale = max(1.0, float(np.abs(np.asarray(leaf)).max()))
+        np.testing.assert_allclose(
+            np.asarray(flat_got[path]) / scale, np.asarray(leaf) / scale,
+            rtol=5e-4, atol=5e-4, err_msg=str(path))
+
+
+def test_train_dispatch_droppath_behavior(rng, monkeypatch):
+    """Training dispatch with path_pdrop>0: every sample's output equals the
+    jnp mirror evaluated at one of the 4 possible per-sample droppath coef
+    pairs {0, 1/keep}^2."""
+    p_drop, keep = 0.5, 0.5
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                             path_pdrop=p_drop, deterministic=False)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mask = _mask(False)
+    det_block = TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                                 path_pdrop=p_drop, deterministic=True)
+    params = det_block.init(jax.random.PRNGKey(0), x, mask)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    params = {"params": p}
+
+    orig = fused_block.fused_transformer_block_train
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused_block, "ENABLED", True)
+    monkeypatch.setattr(fused_block, "TRAIN_ENABLED", True)
+    monkeypatch.setattr(fused_block, "fused_transformer_block_train", interp)
+    y, _ = block.apply(params, x, mask, rngs={"dropout": jax.random.PRNGKey(7)})
+
+    packed = fused_block.pack_block_params(params["params"], C, False, x.dtype)
+    mrow = mask.astype(jnp.float32)[..., None]
+    candidates = []
+    for ca in (0.0, 1.0 / keep):
+        for cm in (0.0, 1.0 / keep):
+            coefs = jnp.tile(jnp.asarray([[ca, cm]], jnp.float32), (B, 1))
+            candidates.append(np.asarray(fused_block.block_math(
+                x, x[:, :1, :1], mrow, coefs, *packed,
+                n_head=H, w_overlap=WIN // 2, mode="self")))
+    y_np = np.asarray(y)
+    for b_i in range(B):
+        dists = [np.abs(c[b_i] - y_np[b_i]).max() for c in candidates]
+        assert min(dists) < 2e-5, f"sample {b_i}: {dists}"
