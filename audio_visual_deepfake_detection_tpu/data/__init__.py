@@ -2,7 +2,7 @@ from .dataset import (  # noqa: F401
     DATASET_STREAMS,
     DeepfakeDataset,
     DeepfakeInferenceDataset,
-    collate_batch,
+    collate_batch, collate_train_streams,
     linear_resample_np,
 )
 from .loader import DataLoader  # noqa: F401

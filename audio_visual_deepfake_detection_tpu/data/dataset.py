@@ -36,7 +36,7 @@ import numpy as np
 
 from ..ops.resample import _linear_coords_cached
 from . import metadata as md
-from .truncate import truncate_feats
+from .truncate import draw_truncate_window, truncate_feats
 
 
 def linear_resample_np(x: np.ndarray, out_len: int) -> np.ndarray:
@@ -143,6 +143,9 @@ class DeepfakeDataset:
             with_frame_labels if with_frame_labels is not None
             else dataset_name.endswith("_THE"))
         assert self.num_classes == 1
+        # device_resample: skip the host resample; ship raw ragged streams +
+        # the host-drawn crop window (bit-identical rng) to the device program
+        self.device_resample = bool(dataset_cfg.get("device_resample", False))
         self.data_list = md.read_list_file(dataset_cfg["train_txt"])
         self.attrs = {
             "dataset_name": "DeepFake_Audio",
@@ -199,10 +202,19 @@ class DeepfakeDataset:
             streams[0] = streams[0][::self.downsample_rate]
             feat_stride *= self.downsample_rate
 
-        if self.force_upsampling:
+        if self.device_resample:
+            # raw ragged streams go to the device; only the GT math and the
+            # GT-aware random-window draw (same rng call order as the host
+            # path -> identical windows) stay on the host
+            assert self.force_upsampling, "device_resample requires force_upsampling"
+            feats = None
+            feat_len = self.max_seq_len
+        elif self.force_upsampling:
             feats = resample_concat_np(streams, self.max_seq_len)  # (T, C)
+            feat_len = feats.shape[0]
         else:
             feats = np.concatenate(streams, axis=1)  # (T, C)
+            feat_len = feats.shape[0]
 
         segments = labels = None
         if meta.segments is not None:
@@ -210,7 +222,7 @@ class DeepfakeDataset:
             labels = meta.labels
             if self.is_training:
                 # drop segments (mostly) outside the feature window
-                vid_len = feats.shape[0] + feat_offset
+                vid_len = feat_len + feat_offset
                 keep_segs, keep_labels = [], []
                 for seg, lab in zip(segments, labels):
                     if seg[0] >= vid_len:
@@ -224,10 +236,16 @@ class DeepfakeDataset:
                 if segments is None:
                     labels = None
 
+        win_st, win_len = 0, feat_len
         if self.is_training and segments is not None:
-            feats, segments, labels = truncate_feats(
-                feats, segments, labels, self.max_seq_len, self.trunc_thresh,
-                feat_offset, rng, self.crop_ratio)
+            if self.device_resample:
+                win_st, win_len, segments, labels = draw_truncate_window(
+                    feat_len, segments, labels, self.max_seq_len,
+                    self.trunc_thresh, feat_offset, rng, self.crop_ratio)
+            else:
+                feats, segments, labels = truncate_feats(
+                    feats, segments, labels, self.max_seq_len, self.trunc_thresh,
+                    feat_offset, rng, self.crop_ratio)
 
         sample = {
             "video_id": meta.video_id,
@@ -243,6 +261,10 @@ class DeepfakeDataset:
             "split": meta.split,
             "segments_time": meta.segments,
         }
+        if self.device_resample:
+            sample["streams"] = streams
+            sample["win_st"] = win_st
+            sample["win_len"] = win_len
         if self.with_frame_labels and self.is_training and segments is not None:
             sample["gt_frame_labels"] = frame_labels_from_segments(
                 meta.duration, segments, meta.av_labels, self.max_seq_len)
@@ -325,6 +347,59 @@ class DeepfakeInferenceDataset:
             "feat_stride": feat_stride,
             "feat_num_frames": num_frames,
         }
+
+
+def collate_train_streams(samples: List[dict], caps: Sequence[int],
+                          max_seq_len: int, max_gt: int = 32,
+                          with_frame_labels: bool = False) -> Dict[str, np.ndarray]:
+    """Batch device-resample training samples: raw ragged streams zero-padded
+    to static caps + row counts + the host-drawn crop windows, plus the same
+    GT arrays as :func:`collate_batch`."""
+    b = len(samples)
+    n_streams = len(samples[0]["streams"])
+    assert len(caps) == n_streams, (len(caps), n_streams)
+    streams, rows = [], []
+    for s in range(n_streams):
+        c = samples[0]["streams"][s].shape[1]
+        arr = np.zeros((b, caps[s], c), np.float32)
+        cnt = np.zeros((b,), np.int32)
+        for i, item in enumerate(samples):
+            x = item["streams"][s]
+            assert x.shape[0] <= caps[s], \
+                f"stream {s}: {x.shape[0]} rows > cap {caps[s]}"
+            arr[i, :x.shape[0]] = x
+            cnt[i] = x.shape[0]
+        streams.append(arr)
+        rows.append(cnt)
+
+    gt_segments = np.zeros((b, max_gt, 2), np.float32)
+    gt_labels = np.zeros((b, max_gt), np.int64)
+    gt_valid = np.zeros((b, max_gt), bool)
+    frame_labels = np.zeros((b, max_seq_len), np.float32)
+    win_st = np.zeros((b,), np.int32)
+    win_len = np.zeros((b,), np.int32)
+    for i, s in enumerate(samples):
+        segs = s.get("segments")
+        if segs is not None and len(segs) > 0:
+            n = min(len(segs), max_gt)
+            gt_segments[i, :n] = segs[:n]
+            gt_labels[i, :n] = s["labels"][:n]
+            gt_valid[i, :n] = True
+        if with_frame_labels and s.get("gt_frame_labels") is not None:
+            frame_labels[i] = s["gt_frame_labels"]
+        win_st[i] = s["win_st"]
+        win_len[i] = s["win_len"]
+
+    batch = {
+        "streams": tuple(streams), "rows": tuple(rows),
+        "win_st": win_st, "win_len": win_len,
+        "gt_segments": gt_segments, "gt_labels": gt_labels, "gt_valid": gt_valid,
+        "has_gt": gt_valid.any(axis=1),
+        "video_ids": [s["video_id"] for s in samples],
+    }
+    if with_frame_labels:
+        batch["frame_labels"] = frame_labels
+    return batch
 
 
 def collate_batch(samples: List[dict], max_seq_len: int, max_gt: int = 32,

@@ -4,6 +4,12 @@ Training-time augmentation: sample a window of length max_seq_len (or a random
 crop_ratio fraction of the sequence) such that at least one action survives
 with intersection ratio >= trunc_thresh. Determinism: takes a
 ``numpy.random.Generator`` instead of global random state.
+
+Split into a pure window draw (:func:`draw_truncate_window` — segments + rng
+only, no feature array) and the array crop, so the device-resample train path
+can draw the exact same windows (same rng call order -> bit-identical to the
+host path) while the feature crop itself runs on the TPU fused with the
+resample (ops/resample.py::linear_resample_dynamic ``start``/``out_valid``).
 """
 
 from __future__ import annotations
@@ -13,8 +19,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def truncate_feats(
-    feats: np.ndarray,          # (T, C)
+def draw_truncate_window(
+    feat_len: int,
     segments: np.ndarray,       # (N, 2) feature-grid coords
     labels: np.ndarray,         # (N,)
     max_seq_len: int,
@@ -26,18 +32,22 @@ def truncate_feats(
     has_action: bool = True,
     no_trunc: bool = False,
 ):
-    """Returns (feats, segments, labels) after the random window crop."""
-    feat_len = feats.shape[0]
+    """Draw the random crop window and transform the GT into it.
 
+    Returns ``(st, win_len, segments, labels)`` where rows ``[st, st+win_len)``
+    of the feature grid survive. ``win_len == feat_len`` and ``st == 0`` mean
+    no crop. RNG call order matches the reference exactly
+    (data_utils.py:58-107).
+    """
     if feat_len <= max_seq_len:
         if crop_ratio is None:
-            return feats, segments, labels
+            return 0, feat_len, segments, labels
         max_seq_len = int(rng.integers(
             max(round(crop_ratio[0] * feat_len), 1),
             min(round(crop_ratio[1] * feat_len), feat_len) + 1,
         ))
         if feat_len == max_seq_len:
-            return feats, segments, labels
+            return 0, feat_len, segments, labels
 
     st = 0
     left = right = keep = None
@@ -60,7 +70,25 @@ def truncate_feats(
         else:
             break
 
-    new_feats = feats[st:st + max_seq_len]
     new_segments = np.stack([left[keep], right[keep]], axis=1) - st
-    new_labels = labels[keep]
-    return new_feats, new_segments.astype(np.float32), new_labels
+    return st, max_seq_len, new_segments.astype(np.float32), labels[keep]
+
+
+def truncate_feats(
+    feats: np.ndarray,          # (T, C)
+    segments: np.ndarray,       # (N, 2) feature-grid coords
+    labels: np.ndarray,         # (N,)
+    max_seq_len: int,
+    trunc_thresh: float,
+    offset: float,
+    rng: np.random.Generator,
+    crop_ratio: Optional[Tuple[float, float]] = None,
+    max_num_trials: int = 200,
+    has_action: bool = True,
+    no_trunc: bool = False,
+):
+    """Returns (feats, segments, labels) after the random window crop."""
+    st, win_len, segments, labels = draw_truncate_window(
+        feats.shape[0], segments, labels, max_seq_len, trunc_thresh, offset,
+        rng, crop_ratio, max_num_trials, has_action, no_trunc)
+    return feats[st:st + win_len], segments, labels

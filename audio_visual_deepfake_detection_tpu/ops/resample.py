@@ -91,7 +91,9 @@ def linear_resample_matrix(in_len: int, out_len: int) -> jnp.ndarray:
 
 
 def linear_resample_dynamic(x: jnp.ndarray, in_len: jnp.ndarray,
-                            out_len: int, use_matmul: bool = True) -> jnp.ndarray:
+                            out_len: int, use_matmul: bool = True,
+                            resample_len: int | None = None,
+                            start=None, out_valid=None) -> jnp.ndarray:
     """Per-sample dynamic-length linear resample on device.
 
     ``x``: (B, T_max, C) zero-padded streams; ``in_len``: (B,) valid row
@@ -109,28 +111,48 @@ def linear_resample_dynamic(x: jnp.ndarray, in_len: jnp.ndarray,
       per-sample dynamic gathers lower terribly on TPU (measured 2.4x
       slower end-to-end), while this form costs one batched matmul.
     - ``use_matmul=False``: gather + lerp (better on CPU / tiny shapes).
+
+    Fused crop (the training random-window truncation): with
+    ``resample_len=R``, ``start`` (B,) int and ``out_valid`` (B,) int, output
+    row ``j`` is row ``start+j`` of the length-``R`` resampled grid — the
+    coordinate math is evaluated directly at the shifted indices, so it is
+    bit-identical to resampling to ``R`` and slicing ``[start, start+out_len)``
+    on the host — and rows ``>= out_valid`` are zeroed (the caller masks them).
     """
     in_len_f = in_len.astype(jnp.float32)
-    scale = in_len_f[:, None] / jnp.float32(out_len)            # (B, 1)
+    r = out_len if resample_len is None else resample_len
+    scale = in_len_f[:, None] / jnp.float32(r)                  # (B, 1)
     j = jnp.arange(out_len, dtype=jnp.float32)[None, :]
+    if start is not None:
+        j = j + start.astype(jnp.float32)[:, None]
     coords = (j + jnp.float32(0.5)) * scale - jnp.float32(0.5)  # (B, out)
     coords = jnp.clip(coords, 0.0, in_len_f[:, None] - 1.0)
     idx0 = jnp.floor(coords).astype(jnp.int32)
     idx1 = jnp.minimum(idx0 + 1, in_len[:, None].astype(jnp.int32) - 1)
     frac = (coords - idx0.astype(jnp.float32)).astype(x.dtype)
 
+    valid = None
+    if out_valid is not None:
+        valid = (jnp.arange(out_len)[None, :]
+                 < out_valid[:, None]).astype(x.dtype)           # (B, out)
+
     if use_matmul:
         iota = jnp.arange(x.shape[1], dtype=jnp.int32)
         w0 = (iota[None, None, :] == idx0[..., None]).astype(x.dtype)
         w1 = (iota[None, None, :] == idx1[..., None]).astype(x.dtype)
         w = w0 * (1.0 - frac)[..., None] + w1 * frac[..., None]
+        if valid is not None:
+            w = w * valid[..., None]
         return jnp.einsum("boi,bic->boc", w, x,
                           preferred_element_type=x.dtype)
 
     frac = frac[..., None]
     x0 = jnp.take_along_axis(x, idx0[..., None], axis=1)
     x1 = jnp.take_along_axis(x, idx1[..., None], axis=1)
-    return x0 * (1.0 - frac) + x1 * frac
+    y = x0 * (1.0 - frac) + x1 * frac
+    if valid is not None:
+        y = y * valid[..., None]
+    return y
 
 
 def nearest_resample_time(x: jnp.ndarray, out_len: int, axis: int = -2) -> jnp.ndarray:

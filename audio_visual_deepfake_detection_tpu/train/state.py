@@ -49,8 +49,16 @@ def build_train_step(
     cfg: ArchConfig,
     train_cfg: Dict,
     ema_decay: float = 0.999,
+    online_resample: bool = False,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
-    """Returns train_step(state, batch) -> (state, losses)."""
+    """Returns train_step(state, batch) -> (state, losses).
+
+    ``online_resample``: the batch carries raw ragged ``streams``/``rows``
+    plus the host-drawn crop window (``win_st``/``win_len``) instead of
+    resampled ``feats``/``mask``; the per-stream linear resample and the
+    window crop run fused inside the train program
+    (ops/resample.py::linear_resample_dynamic), bit-matching the host path.
+    """
     model = AVLocalizer(cfg)
     points = model_points(cfg)
     loss_weight = train_cfg["loss_weight"]
@@ -58,15 +66,30 @@ def build_train_step(
     center_sample = train_cfg["center_sample"]
     radius = train_cfg["center_sample_radius"]
 
+    def batch_feats(batch):
+        if not online_resample:
+            return batch["feats"], batch["mask"]
+        from ..ops.resample import linear_resample_dynamic
+        parts = [
+            linear_resample_dynamic(
+                s, r, cfg.max_seq_len, resample_len=cfg.max_seq_len,
+                start=batch["win_st"], out_valid=batch["win_len"])
+            for s, r in zip(batch["streams"], batch["rows"])
+        ]
+        feats = jnp.concatenate(parts, axis=-1)
+        mask = jnp.arange(cfg.max_seq_len)[None, :] < batch["win_len"][:, None]
+        return feats, mask
+
     def train_step(state: TrainState, batch: Dict):
         rng, step_rng = jax.random.split(state.rng)
 
         gt_cls, gt_off = label_points(
             points, batch["gt_segments"], batch["gt_labels"], batch["gt_valid"],
             cfg.num_classes, center_sample, radius)
+        feats, mask = batch_feats(batch)
 
         def loss_fn(params):
-            out = model.apply(params, batch["feats"], batch["mask"], train=True,
+            out = model.apply(params, feats, mask, train=True,
                               rngs={"dropout": step_rng})
             losses, num_pos = compute_losses(
                 out, gt_cls, gt_off, batch["has_gt"], state.loss_normalizer,

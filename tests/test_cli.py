@@ -151,3 +151,20 @@ def test_train_and_infer_cli(workspace):
         np.testing.assert_allclose(
             np.asarray(online["segments"], np.float64).reshape(-1, 2),
             np.asarray(host["segments"], np.float64).reshape(-1, 2), atol=1e-3)
+
+
+def test_train_cli_device_resample(workspace):
+    """train.py --device-resample: ragged-stream infeed + on-device
+    resample/crop trains end to end."""
+    root, cfg_path = workspace
+    _run(["train.py", str(cfg_path), "--output", "smoke_dev",
+          "--ckpt-iter-freq", "0", "-p", "2", "--device-resample",
+          "--stream-caps", "400,150,600"])
+    runs = glob.glob(str(root / "runs" / "smoke_dev_*"))
+    assert runs, "no run folder created"
+    metrics = os.path.join(runs[0], "metrics.jsonl")
+    assert os.path.exists(metrics)
+    lines = open(metrics).read().strip().splitlines()
+    assert lines, "no metrics logged"
+    last = json.loads(lines[-1])
+    assert np.isfinite(last.get("train/final_loss", np.nan))

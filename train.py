@@ -20,7 +20,7 @@ setup_jax()
 from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config)
 from audio_visual_deepfake_detection_tpu.data import (
-    DeepfakeDataset, DataLoader, collate_batch)
+    DeepfakeDataset, DataLoader, collate_batch, collate_train_streams)
 from audio_visual_deepfake_detection_tpu.parallel import make_mesh, replicate_tree
 from audio_visual_deepfake_detection_tpu.train import (
     MetricsLogger, TrainState, build_train_step, init_model, make_optimizer,
@@ -40,6 +40,8 @@ def main(args):
     with open(os.path.join(out_folder, "config.txt"), "w") as f:
         f.write(pformat(config))
 
+    if args.device_resample:
+        config["dataset"]["device_resample"] = True
     dataset = DeepfakeDataset(
         config["dataset_name"], True, config["train_split"], config["dataset"])
     with_frame = config["dataset_name"].endswith("_THE")
@@ -52,11 +54,24 @@ def main(args):
     else:
         transfer_dtype = np.float32
 
-    def collate(samples):
-        batch = collate_batch(samples, max_seq_len, max_gt, with_frame)
-        # half-width infeed when computing in bf16 (model casts anyway)
-        batch["feats"] = batch["feats"].astype(transfer_dtype)
-        return batch
+    if args.device_resample:
+        caps = [int(c) for c in args.stream_caps.split(",")]
+        assert len(caps) == len(dataset.streams), \
+            f"--stream-caps needs {len(dataset.streams)} values"
+
+        def collate(samples):
+            batch = collate_train_streams(samples, caps, max_seq_len, max_gt,
+                                          with_frame)
+            # half-width ragged-stream infeed when computing in bf16
+            batch["streams"] = tuple(
+                s.astype(transfer_dtype) for s in batch["streams"])
+            return batch
+    else:
+        def collate(samples):
+            batch = collate_batch(samples, max_seq_len, max_gt, with_frame)
+            # half-width infeed when computing in bf16 (model casts anyway)
+            batch["feats"] = batch["feats"].astype(transfer_dtype)
+            return batch
 
     mesh = make_mesh(config["tpu"]["dp_size"])
     n_dev = mesh.devices.size
@@ -87,7 +102,10 @@ def main(args):
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
     state = replicate_tree(mesh, state)
-    train_step = jax.jit(build_train_step(cfg, config["train_cfg"]), donate_argnums=0)
+    train_step = jax.jit(
+        build_train_step(cfg, config["train_cfg"],
+                         online_resample=args.device_resample),
+        donate_argnums=0)
     logger = MetricsLogger(out_folder)
 
     max_epochs = config["opt"].get(
@@ -117,4 +135,11 @@ if __name__ == "__main__":
                         help="mid-epoch checkpoint every N iters (0=off)")
     parser.add_argument("--output", type=str, default="")
     parser.add_argument("--resume", type=str, default="")
+    parser.add_argument("--device-resample", action="store_true",
+                        help="ship raw ragged streams; resample + random-"
+                             "window crop run fused inside the train program")
+    parser.add_argument("--stream-caps", type=str, default="960,400,1520",
+                        help="comma-separated per-stream row caps for "
+                             "--device-resample (video,byola,emotion order "
+                             "for the EmoBYOLA datasets)")
     main(parser.parse_args())
