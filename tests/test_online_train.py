@@ -141,3 +141,32 @@ def test_online_train_step_matches_host(rng, tiny_cache):
         np.testing.assert_allclose(
             np.asarray(losses_d[k]), np.asarray(losses_h[k]),
             rtol=2e-3, atol=2e-3, err_msg=k)
+
+
+def test_online_train_step_sharded_8dev(rng, tiny_cache):
+    """Online (ragged-stream) train step over an 8-device data mesh: the
+    streams tuple shards on the batch axis like any other batch array."""
+    from audio_visual_deepfake_detection_tpu.parallel import (
+        make_mesh, replicate_tree, shard_batch)
+    from audio_visual_deepfake_detection_tpu.parallel.mesh import pad_batch_to
+
+    dcfg = _tiny_dataset_cfg(tiny_cache)
+    dev = DeepfakeDataset("deepfake_video_audioEmoBYOLA", True, ["train"],
+                          {**dcfg, "device_resample": True})
+    ds = [dev.__getitem__(i % len(dev), np.random.default_rng(i))
+          for i in range(6)]
+    batch = collate_train_streams(ds, [400, 150, 600], dcfg["max_seq_len"],
+                                  max_gt=8)
+    batch.pop("video_ids")
+    batch = pad_batch_to(batch, 8)     # partial batch -> static mesh shape
+    batch.pop("_real_rows")
+
+    cfg = tiny_cfg()
+    mesh = make_mesh(devices=jax.devices("cpu"))
+    assert mesh.devices.size == 8
+    state, _ = make_state(cfg)
+    state = replicate_tree(mesh, state)
+    step = jax.jit(build_train_step(cfg, TRAIN_CFG, online_resample=True))
+    batch = shard_batch(mesh, batch)
+    _, losses = step(state, batch)
+    assert np.isfinite(float(losses["final_loss"]))
