@@ -210,28 +210,34 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
             v = ln(dwconv(lv, vecs, ROW_VCONV, mvalid).astype(cdtype),
                    vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
 
-        q = (jnp.dot(q, wq_ref[...], preferred_element_type=jnp.float32)
-             + vecs[ROW_Q_BIAS][None, :])
-        k = (jnp.dot(k, wk_ref[...], preferred_element_type=jnp.float32)
-             + vecs[ROW_K_BIAS][None, :])
-        v = (jnp.dot(v, wv_ref[...], preferred_element_type=jnp.float32)
-             + vecs[ROW_V_BIAS][None, :])
+        # dense q/k/v in the compute dtype (matches ops/conv.py::Dense —
+        # bf16 out with internal f32 accumulation, bf16 bias add)
+        def cdot(a, b):
+            # Mosaic requires a 32-bit matmul accumulator; f32-accumulate
+            # then downcast == XLA's bf16 dot semantics (ops/conv.py::Dense)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32
+                           ).astype(cdtype)
+
+        q = cdot(q, wq_ref[...]) + vecs[ROW_Q_BIAS][None, :].astype(cdtype)
+        k = cdot(k, wk_ref[...]) + vecs[ROW_K_BIAS][None, :].astype(cdtype)
+        v = cdot(v, wv_ref[...]) + vecs[ROW_V_BIAS][None, :].astype(cdtype)
         d_head = c // n_head
-        q = (q * (1.0 / np.sqrt(d_head))).astype(cdtype)
-        k = k.astype(cdtype)
-        v = v.astype(cdtype)
+        q = q * cdtype.type(1.0 / np.sqrt(d_head))
+        mvalid_c = mvalid.astype(cdtype)
 
         # --- banded attention: per-offset head-reduced scores ---
         red = red_ref[...]                 # (C, 128) one-hot, cdtype
         exp_m = exp_ref[...]               # (128, C) one-hot, cdtype
         row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+        # scores in the compute dtype like ops/attention.py::band_attention
+        # (bf16 score + bf16 -1e4 penalty), softmax in f32
+        pen_c = pen.astype(cdtype)
         scores = []
         for d in range(-w, w + 1):
             e = q * _shift_rows(k, d)
-            s = jnp.dot(e, red, preferred_element_type=jnp.float32)
-            s = s + _shift_rows(pen, d)
+            s = cdot(e, red) + _shift_rows(pen_c, d)
             ok = (row + d >= 0) & (row + d < t)
-            scores.append(jnp.where(ok, s, NEG_INF))
+            scores.append(jnp.where(ok, s.astype(jnp.float32), NEG_INF))
         m = scores[0]
         for s in scores[1:]:
             m = jnp.maximum(m, s)
@@ -240,40 +246,36 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         for e in exps[1:]:
             den = den + e
         inv = 1.0 / den
-        ctx = jnp.zeros((t, c), jnp.float32)
+        ctx = jnp.zeros((t, c), cdtype)
         for i, d in enumerate(range(-w, w + 1)):
             p = ((exps[i] * inv).astype(cdtype))
-            pb = jnp.dot(p, exp_m, preferred_element_type=jnp.float32
-                         ).astype(cdtype)
-            ctx = ctx + (pb * _shift_rows(v, d)).astype(jnp.float32)
+            pb = cdot(p, exp_m)
+            ctx = ctx + pb * _shift_rows(v, d)
         # NaN guard: zero invalid query rows (blocks.py:766-767)
-        ctx = (ctx * mvalid).astype(cdtype)
+        ctx = ctx * mvalid_c
 
-        # --- proj + residual (layer-scale) ---
-        att = (jnp.dot(ctx, wp_ref[...], preferred_element_type=jnp.float32)
-               + vecs[ROW_P_BIAS][None, :])
-        att = att * mvalid                 # masked conv-out semantics
+        # --- proj + residual (layer-scale) --- compute dtype throughout,
+        # like the standard path (blocks.py residual adds run in bf16)
+        att = cdot(ctx, wp_ref[...]) + vecs[ROW_P_BIAS][None, :].astype(cdtype)
+        att = att * mvalid_c               # masked conv-out semantics
         if mode == "ds_self":
             # skip path = MaxPool1d(k=3, s=2, p=1) over the full-res stream
             # (blocks.py:1277-1283; -inf padding)
-            ef = x.astype(jnp.float32)
-            of = xo_ref[0].astype(jnp.float32)
-            om1 = _shift_rows(of, -1)
-            om1 = jnp.where(row == 0, -jnp.inf, om1)
-            skip = jnp.maximum(jnp.maximum(om1, ef), of)
+            om1 = _shift_rows(xo_ref[0], -1)
+            om1 = jnp.where(row == 0, cdtype.type(-jnp.inf), om1)
+            skip = jnp.maximum(jnp.maximum(om1, x), xo_ref[0])
         else:
-            skip = x.astype(jnp.float32)
-        y1 = skip * mvalid + att * (vecs[ROW_SCALE_ATTN][None, :] * coef_attn)
+            skip = x
+        scale_a = (vecs[ROW_SCALE_ATTN][None, :] * coef_attn).astype(cdtype)
+        y1 = skip * mvalid_c + att * scale_a
 
         # --- conv-MLP ---
         h = ln(y1, vecs, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
-        h = (jnp.dot(h, wf1_ref[...], preferred_element_type=jnp.float32)
-             + fc1b_ref[...])
-        h = _gelu_exact(h).astype(cdtype)
-        h = (jnp.dot(h, wf2_ref[...], preferred_element_type=jnp.float32)
-             + vecs[ROW_FC2_BIAS][None, :])
-        h = h * mvalid
-        y = y1 + h * (vecs[ROW_SCALE_MLP][None, :] * coef_mlp)
+        h = cdot(h, wf1_ref[...]) + fc1b_ref[...].astype(cdtype)
+        h = _gelu_exact(h.astype(jnp.float32)).astype(cdtype)
+        h = cdot(h, wf2_ref[...]) + vecs[ROW_FC2_BIAS][None, :].astype(cdtype)
+        h = h * mvalid_c
+        y = y1 + h * (vecs[ROW_SCALE_MLP][None, :] * coef_mlp).astype(cdtype)
         out_ref[0] = y.astype(out_ref.dtype)
 
     return kernel
@@ -400,22 +402,24 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
         k = ln(dwconv(lk, ROW_KCONV).astype(cdtype), ROW_KN_W, ROW_KN_B).astype(cdtype)
         v = ln(dwconv(lv, ROW_VCONV).astype(cdtype), ROW_VN_W, ROW_VN_B).astype(cdtype)
 
-    q = jnp.dot(q, wq, preferred_element_type=jnp.float32) + vecs[ROW_Q_BIAS]
-    k = jnp.dot(k, wk, preferred_element_type=jnp.float32) + vecs[ROW_K_BIAS]
-    v = jnp.dot(v, wv, preferred_element_type=jnp.float32) + vecs[ROW_V_BIAS]
+    def cdot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(cdtype)
+
+    q = cdot(q, wq) + vecs[ROW_Q_BIAS].astype(cdtype)
+    k = cdot(k, wk) + vecs[ROW_K_BIAS].astype(cdtype)
+    v = cdot(v, wv) + vecs[ROW_V_BIAS].astype(cdtype)
     d_head = c // n_head
-    q = (q * (1.0 / np.sqrt(d_head))).astype(cdtype)
-    k = k.astype(cdtype)
-    v = v.astype(cdtype)
+    q = q * cdtype.type(1.0 / np.sqrt(d_head))
+    mvalid_c = mvalid.astype(cdtype)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    pen_c = pen.astype(cdtype)
     scores = []
     for d in range(-w, w + 1):
         e = q * _shift_rows(k, d)
-        s = jnp.dot(e, red, preferred_element_type=jnp.float32)
-        s = s + _shift_rows(pen, d)
+        s = cdot(e, red) + _shift_rows(pen_c, d)
         ok = (row + d >= 0) & (row + d < t)
-        scores.append(jnp.where(ok[None], s, NEG_INF))
+        scores.append(jnp.where(ok[None], s.astype(jnp.float32), NEG_INF))
     m = scores[0]
     for s in scores[1:]:
         m = jnp.maximum(m, s)
@@ -424,31 +428,30 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
     for e in exps[1:]:
         den = den + e
     inv = 1.0 / den
-    ctx = jnp.zeros((b, t, c), jnp.float32)
+    ctx = jnp.zeros((b, t, c), cdtype)
     for i, d in enumerate(range(-w, w + 1)):
         p = (exps[i] * inv).astype(cdtype)
-        pb = jnp.dot(p, exp_m, preferred_element_type=jnp.float32).astype(cdtype)
-        ctx = ctx + (pb * _shift_rows(v, d)).astype(jnp.float32)
-    ctx = (ctx * mvalid).astype(cdtype)
+        pb = cdot(p, exp_m)
+        ctx = ctx + pb * _shift_rows(v, d)
+    ctx = ctx * mvalid_c
 
-    att = jnp.dot(ctx, wp, preferred_element_type=jnp.float32) + vecs[ROW_P_BIAS]
-    att = att * mvalid
+    att = cdot(ctx, wp) + vecs[ROW_P_BIAS].astype(cdtype)
+    att = att * mvalid_c
     if mode == "ds_self":
-        ef = x.astype(jnp.float32)
-        of = xo.astype(jnp.float32)
-        om1 = _shift_rows(of, -1)
-        om1 = jnp.where(row[None] == 0, -jnp.inf, om1)
-        skip = jnp.maximum(jnp.maximum(om1, ef), of)
+        om1 = _shift_rows(xo, -1)
+        om1 = jnp.where(row[None] == 0, cdtype.type(-jnp.inf), om1)
+        skip = jnp.maximum(jnp.maximum(om1, x), xo)
     else:
-        skip = x.astype(jnp.float32)
-    y1 = skip * mvalid + att * (vecs[ROW_SCALE_ATTN][None, None, :] * coef_attn)
+        skip = x
+    scale_a = (vecs[ROW_SCALE_ATTN][None, None, :] * coef_attn).astype(cdtype)
+    y1 = skip * mvalid_c + att * scale_a
 
     h = ln(y1, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
-    h = jnp.dot(h, wf1, preferred_element_type=jnp.float32) + fc1b[0]
-    h = _gelu_exact(h).astype(cdtype)
-    h = jnp.dot(h, wf2, preferred_element_type=jnp.float32) + vecs[ROW_FC2_BIAS]
-    h = h * mvalid
-    y = y1 + h * (vecs[ROW_SCALE_MLP][None, None, :] * coef_mlp)
+    h = cdot(h, wf1) + fc1b[0].astype(cdtype)
+    h = _gelu_exact(h.astype(jnp.float32)).astype(cdtype)
+    h = cdot(h, wf2) + vecs[ROW_FC2_BIAS].astype(cdtype)
+    h = h * mvalid_c
+    y = y1 + h * (vecs[ROW_SCALE_MLP][None, None, :] * coef_mlp).astype(cdtype)
     return y.astype(cdtype)
 
 
