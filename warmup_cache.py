@@ -67,6 +67,6 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str)
     parser.add_argument("--infer-batch", type=int, nargs="*",
-                        default=[64, 256])  # 256 = bench.py default
+                        default=[64, 512])  # 512 = bench.py default
     parser.add_argument("--train-batch", type=int, nargs="*", default=[])
     main(parser.parse_args())
