@@ -20,6 +20,9 @@ import jax
 
 @contextlib.contextmanager
 def trace(logdir: str):
+    """NOTE: on the tunneled axon backend of this dev environment
+    ``start_trace`` blocks (the plugin has no profiler endpoint); use on
+    directly-attached TPU hosts. StepTimer/annotate work everywhere."""
     jax.profiler.start_trace(logdir)
     try:
         yield
