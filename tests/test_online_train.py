@@ -9,14 +9,11 @@ import jax
 import jax.numpy as jnp
 
 from audio_visual_deepfake_detection_tpu.data.dataset import (
-    DeepfakeDataset, collate_batch, collate_train_streams, resample_concat_np)
-from audio_visual_deepfake_detection_tpu.models import ArchConfig
-from audio_visual_deepfake_detection_tpu.ops.resample import (
-    linear_resample_dynamic, linear_resample_time)
-from audio_visual_deepfake_detection_tpu.train import (
-    TrainState, build_train_step, init_model, make_optimizer)
+    DeepfakeDataset, collate_batch, collate_train_streams)
+from audio_visual_deepfake_detection_tpu.ops.resample import linear_resample_dynamic
+from audio_visual_deepfake_detection_tpu.train import build_train_step
 
-from test_train import TRAIN_CFG, OPT_CFG, tiny_cfg, make_state
+from test_train import TRAIN_CFG, tiny_cfg, make_state
 
 
 @pytest.mark.parametrize("use_matmul", [True, False])
