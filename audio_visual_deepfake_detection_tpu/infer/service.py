@@ -46,14 +46,25 @@ class Detections:
 class LocalizerService:
     def __init__(self, cfg: ArchConfig, test_cfg: TestConfig, params,
                  batch_size: int = 16, max_wait_ms: float = 5.0,
-                 ds_feat_stride: float = 1.0, ds_num_frames: float = 1.0):
+                 ds_feat_stride: float = 1.0, ds_num_frames: float = 1.0,
+                 batch_buckets: Optional[List[int]] = None):
+        """``batch_buckets``: ascending batch tiers (e.g. [1, 4, 16]); a
+        flush pads to the smallest tier >= the coalesced request count, so a
+        lone request ships a (1, T, C) array instead of the full batch (the
+        jit caches one program per tier). Default: [batch_size] only."""
         self.cfg = cfg
         self.batch_size = batch_size
+        self.buckets = sorted(batch_buckets or [batch_size])
+        assert self.buckets[-1] >= batch_size
         self.max_wait = max_wait_ms / 1000.0
         self.params = params
         self.ds_feat_stride = ds_feat_stride
         self.ds_num_frames = ds_num_frames
         self._infer_fn = build_inference_fn(cfg, test_cfg)
+        # half-width infeed when the model computes in bf16 (like the CLIs);
+        # jnp.dtype returns an ml_dtypes-backed np.dtype np.zeros accepts
+        import jax.numpy as jnp
+        self._transfer_dtype = jnp.dtype(cfg.compute_dtype)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -117,11 +128,11 @@ class LocalizerService:
             self._flush(batch)
 
     def _flush(self, batch: List[_Request]):
-        b = self.batch_size
         n = len(batch)
+        b = next(bk for bk in self.buckets if bk >= n)
         t = self.cfg.max_seq_len
         c = self.cfg.input_dim
-        feats = np.zeros((b, t, c), np.float32)
+        feats = np.zeros((b, t, c), self._transfer_dtype)
         mask = np.zeros((b, t), bool)
         fps = np.ones((b,), np.float32)
         dur = np.ones((b,), np.float32)

@@ -92,3 +92,35 @@ def test_service_streams_entry_matches_host_pipeline(rng):
         assert via_streams.video_cls == via_feats.video_cls
     finally:
         service.stop()
+
+
+def test_service_buckets_match_full_batch(rng):
+    """Bucketed flushes (pad to the smallest tier >= n) give the same
+    detections as the full-batch service."""
+    cfg = ArchConfig(
+        variant="av_recovery_norecon", input_dim=24, num_classes=1,
+        max_seq_len=96, embd_dim=32, fpn_dim=32, head_dim=32, n_head=2,
+        arch=(1, 1, 2), mha_win_size=(5, 5, -1),
+        regression_range=((0, 4), (4, 8), (8, 10000)), droppath=0.1,
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.001, pre_nms_topk=2000, min_score=0.001,
+                      max_seg_num=10, nms_method="soft", nms_sigma=0.75,
+                      duration_thresh=0.001, multiclass_nms=False,
+                      voting_thresh=0.9)
+    params, _ = init_model(cfg, 4, 0)
+    feats = rng.standard_normal((96, 24)).astype(np.float32)
+
+    svc_full = LocalizerService(cfg, tcfg, params, batch_size=4, max_wait_ms=1)
+    a = svc_full.localize(feats, 25.0, 3.8, 0.3)
+    svc_full.stop()
+
+    svc_bkt = LocalizerService(cfg, tcfg, params, batch_size=4, max_wait_ms=1,
+                               batch_buckets=[1, 4])
+    b = svc_bkt.localize(feats, 25.0, 3.8, 0.3)
+    svc_bkt.stop()
+
+    np.testing.assert_allclose(b.segments, a.segments, atol=1e-5)
+    np.testing.assert_allclose(b.scores, a.scores, atol=1e-5)
+    # different batch tiers compile different programs; XLA fusion ordering
+    # differs at float-rounding level
+    np.testing.assert_allclose(b.video_cls, a.video_cls, atol=1e-5)
