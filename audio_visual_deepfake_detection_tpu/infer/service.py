@@ -47,7 +47,8 @@ class LocalizerService:
     def __init__(self, cfg: ArchConfig, test_cfg: TestConfig, params,
                  batch_size: int = 16, max_wait_ms: float = 5.0,
                  ds_feat_stride: float = 1.0, ds_num_frames: float = 1.0,
-                 batch_buckets: Optional[List[int]] = None):
+                 batch_buckets: Optional[List[int]] = None,
+                 warmup: bool = False):
         """``batch_buckets``: ascending batch tiers (e.g. [1, 4, 16]); a
         flush pads to the smallest tier >= the coalesced request count, so a
         lone request ships a (1, T, C) array instead of the full batch (the
@@ -65,6 +66,16 @@ class LocalizerService:
         # jnp.dtype returns an ml_dtypes-backed np.dtype np.zeros accepts
         import jax.numpy as jnp
         self._transfer_dtype = jnp.dtype(cfg.compute_dtype)
+        if warmup:
+            # compile every bucket tier up front so no live request pays a
+            # first-use compile
+            t, c = cfg.max_seq_len, cfg.input_dim
+            for bk in self.buckets:
+                self._infer_fn(params,
+                               np.zeros((bk, t, c), self._transfer_dtype),
+                               np.ones((bk, t), bool), np.ones((bk,), np.float32),
+                               np.ones((bk,), np.float32), np.ones((bk,), np.float32),
+                               np.ones((bk,), np.float32))
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()

@@ -115,7 +115,7 @@ def test_service_buckets_match_full_batch(rng):
     svc_full.stop()
 
     svc_bkt = LocalizerService(cfg, tcfg, params, batch_size=4, max_wait_ms=1,
-                               batch_buckets=[1, 4])
+                               batch_buckets=[1, 4], warmup=True)
     b = svc_bkt.localize(feats, 25.0, 3.8, 0.3)
     svc_bkt.stop()
 
