@@ -136,13 +136,19 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
     x_ref/xo_ref carry the even/odd rows of the full-res stream, t is the
     downsampled length)."""
 
-    def ln(x, vecs, row_w, row_b):
+    def ln_plain(x):
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         r = xf - mu
         s2 = jnp.mean(r * r, axis=-1, keepdims=True)
-        y = r * jax.lax.rsqrt(s2 + LN_EPS)
-        return y * vecs[row_w][None, :] + vecs[row_b][None, :]
+        return r * jax.lax.rsqrt(s2 + LN_EPS)
+
+    def ln(x, vecs, row_w, row_b):
+        # affine LN; the qn/kn/vn and ln2 affines are folded into the
+        # adjacent dense weights at pack time (pack_block_params), so those
+        # sites call ln_plain instead
+        return (ln_plain(x) * vecs[row_w][None, :]
+                + vecs[row_b][None, :])
 
     def dwconv(x, vecs, row0, mvalid):
         """Depthwise conv k=3, stride 1, zero pad; output masked."""
@@ -185,12 +191,9 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
                 y = _shift_rows(of, -1) * w0 + ef * w1 + of * w2
                 return y * mvalid
 
-            q = ln(dwconv2(ROW_QCONV).astype(cdtype),
-                   vecs, ROW_QN_W, ROW_QN_B).astype(cdtype)
-            k = ln(dwconv2(ROW_KCONV).astype(cdtype),
-                   vecs, ROW_KN_W, ROW_KN_B).astype(cdtype)
-            v = ln(dwconv2(ROW_VCONV).astype(cdtype),
-                   vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
+            q = ln_plain(dwconv2(ROW_QCONV).astype(cdtype)).astype(cdtype)
+            k = ln_plain(dwconv2(ROW_KCONV).astype(cdtype)).astype(cdtype)
+            v = ln_plain(dwconv2(ROW_VCONV).astype(cdtype)).astype(cdtype)
         else:
             if mode == "self":
                 lx = ln(x, vecs, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
@@ -203,12 +206,12 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
                       if mode == "qv_k" else
                       ln(xo, vecs, ROW_LNV_W, ROW_LNV_B).astype(cdtype))
 
-            q = ln(dwconv(lq, vecs, ROW_QCONV, mvalid).astype(cdtype),
-                   vecs, ROW_QN_W, ROW_QN_B).astype(cdtype)
-            k = ln(dwconv(lk, vecs, ROW_KCONV, mvalid).astype(cdtype),
-                   vecs, ROW_KN_W, ROW_KN_B).astype(cdtype)
-            v = ln(dwconv(lv, vecs, ROW_VCONV, mvalid).astype(cdtype),
-                   vecs, ROW_VN_W, ROW_VN_B).astype(cdtype)
+            q = ln_plain(dwconv(lq, vecs, ROW_QCONV, mvalid)
+                         .astype(cdtype)).astype(cdtype)
+            k = ln_plain(dwconv(lk, vecs, ROW_KCONV, mvalid)
+                         .astype(cdtype)).astype(cdtype)
+            v = ln_plain(dwconv(lv, vecs, ROW_VCONV, mvalid)
+                         .astype(cdtype)).astype(cdtype)
 
         # dense q/k/v in the compute dtype (matches ops/conv.py::Dense —
         # bf16 out with internal f32 accumulation, bf16 bias add)
@@ -270,7 +273,7 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         y1 = skip * mvalid_c + att * scale_a
 
         # --- conv-MLP ---
-        h = ln(y1, vecs, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
+        h = ln_plain(y1).astype(cdtype)
         h = cdot(h, wf1_ref[...]) + fc1b_ref[...].astype(cdtype)
         h = _gelu_exact(h.astype(jnp.float32)).astype(cdtype)
         h = cdot(h, wf2_ref[...]) + vecs[ROW_FC2_BIAS][None, :].astype(cdtype)
@@ -358,6 +361,13 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
     coef_attn = coefs[:, 0][:, None, None]           # (B, 1, 1)
     coef_mlp = coefs[:, 1][:, None, None]
 
+    def ln_plain(xx):
+        xf = xx.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        r = xf - mu
+        s2 = jnp.mean(r * r, axis=-1, keepdims=True)
+        return r * jax.lax.rsqrt(s2 + LN_EPS)
+
     def ln(xx, row_w, row_b):
         xf = xx.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -386,9 +396,9 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
             y = _shift_rows(of, -1) * w0 + ef * w1 + of * w2
             return y * mvalid
 
-        q = ln(dwconv2(ROW_QCONV).astype(cdtype), ROW_QN_W, ROW_QN_B).astype(cdtype)
-        k = ln(dwconv2(ROW_KCONV).astype(cdtype), ROW_KN_W, ROW_KN_B).astype(cdtype)
-        v = ln(dwconv2(ROW_VCONV).astype(cdtype), ROW_VN_W, ROW_VN_B).astype(cdtype)
+        q = ln_plain(dwconv2(ROW_QCONV).astype(cdtype)).astype(cdtype)
+        k = ln_plain(dwconv2(ROW_KCONV).astype(cdtype)).astype(cdtype)
+        v = ln_plain(dwconv2(ROW_VCONV).astype(cdtype)).astype(cdtype)
     else:
         if mode == "self":
             lq = lk = lv = ln(x, ROW_LNQ_W, ROW_LNQ_B).astype(cdtype)
@@ -398,9 +408,9 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
             lv = (ln(x, ROW_LNV_W, ROW_LNV_B).astype(cdtype)
                   if mode == "qv_k" else
                   ln(xo, ROW_LNV_W, ROW_LNV_B).astype(cdtype))
-        q = ln(dwconv(lq, ROW_QCONV).astype(cdtype), ROW_QN_W, ROW_QN_B).astype(cdtype)
-        k = ln(dwconv(lk, ROW_KCONV).astype(cdtype), ROW_KN_W, ROW_KN_B).astype(cdtype)
-        v = ln(dwconv(lv, ROW_VCONV).astype(cdtype), ROW_VN_W, ROW_VN_B).astype(cdtype)
+        q = ln_plain(dwconv(lq, ROW_QCONV).astype(cdtype)).astype(cdtype)
+        k = ln_plain(dwconv(lk, ROW_KCONV).astype(cdtype)).astype(cdtype)
+        v = ln_plain(dwconv(lv, ROW_VCONV).astype(cdtype)).astype(cdtype)
 
     def cdot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(cdtype)
@@ -446,7 +456,7 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
     scale_a = (vecs[ROW_SCALE_ATTN][None, None, :] * coef_attn).astype(cdtype)
     y1 = skip * mvalid_c + att * scale_a
 
-    h = ln(y1, ROW_LN2_W, ROW_LN2_B).astype(cdtype)
+    h = ln_plain(y1).astype(cdtype)
     h = cdot(h, wf1) + fc1b[0].astype(cdtype)
     h = _gelu_exact(h.astype(jnp.float32)).astype(cdtype)
     h = cdot(h, wf2) + vecs[ROW_FC2_BIAS].astype(cdtype)
@@ -535,12 +545,32 @@ def pack_block_params(params, n_embd: int, cross: bool, cdtype):
         vec(params["drop_path_mlp"]["scale"]),
     ]
     vecs = jnp.stack(rows)
-    fc1b = jnp.asarray(params["mlp_fc1"]["bias"], jnp.float32).reshape(1, 4 * c)
 
-    wq = jnp.asarray(attn["query"]["kernel"], cdtype)
-    wk = jnp.asarray(attn["key"]["kernel"], cdtype)
-    wv = jnp.asarray(attn["value"]["kernel"], cdtype)
+    # fold the post-conv LN affines (query_norm/key_norm/value_norm) and the
+    # ln2 affine into the adjacent dense weights: LN_aff(y) @ W + b ==
+    # LN_plain(y) @ (g*W) + (b_ln @ W + b). Pure reassociation — saves four
+    # (T, C) affine passes per block in the kernel; the kernel/mirror call
+    # ln_plain at these sites.
+    def fold(norm_w, norm_b, kernel, bias):
+        wf = jnp.asarray(kernel, jnp.float32)
+        g = jnp.asarray(norm_w, jnp.float32).reshape(-1)
+        bl = jnp.asarray(norm_b, jnp.float32).reshape(-1)
+        return (g[:, None] * wf).astype(cdtype), bl @ wf + jnp.asarray(
+            bias, jnp.float32).reshape(-1)
+
+    wq, q_bias = fold(attn["query_norm"]["weight"], attn["query_norm"]["bias"],
+                      attn["query"]["kernel"], attn["query"]["bias"])
+    wk, k_bias = fold(attn["key_norm"]["weight"], attn["key_norm"]["bias"],
+                      attn["key"]["kernel"], attn["key"]["bias"])
+    wv, v_bias = fold(attn["value_norm"]["weight"], attn["value_norm"]["bias"],
+                      attn["value"]["kernel"], attn["value"]["bias"])
+    wf1, fc1b_row = fold(params["ln2"]["weight"], params["ln2"]["bias"],
+                         params["mlp_fc1"]["kernel"], params["mlp_fc1"]["bias"])
+    vecs = vecs.at[ROW_Q_BIAS].set(q_bias)
+    vecs = vecs.at[ROW_K_BIAS].set(k_bias)
+    vecs = vecs.at[ROW_V_BIAS].set(v_bias)
+    fc1b = fc1b_row.reshape(1, 4 * c)
+
     wp = jnp.asarray(attn["proj"]["kernel"], cdtype)
-    wf1 = jnp.asarray(params["mlp_fc1"]["kernel"], cdtype)
     wf2 = jnp.asarray(params["mlp_fc2"]["kernel"], cdtype)
     return vecs, wq, wk, wv, wp, wf1, wf2, fc1b
