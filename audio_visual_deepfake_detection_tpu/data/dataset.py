@@ -333,12 +333,22 @@ class DeepfakeInferenceDataset:
 
         video_rows = streams[0].shape[0]
         fps = video_rows / duration
-        assert self.feat_stride > 0 and self.force_upsampling, "inference requires force_upsampling"
-        feat_stride = float((video_rows - 1) * self.feat_stride + self.num_frames) \
-            / self.max_seq_len
-        num_frames = feat_stride
-
-        feats = resample_concat_np(streams, self.max_seq_len)
+        assert self.feat_stride > 0, "fixed-length features not supported"
+        if self.force_upsampling:
+            feat_stride = float((video_rows - 1) * self.feat_stride + self.num_frames) \
+                / self.max_seq_len
+            num_frames = feat_stride
+            feats = resample_concat_np(streams, self.max_seq_len)
+        else:
+            # variable-length path (deepfake_audio.py:356-361): features keep
+            # the leading stream's native grid, stride/num_frames stay at the
+            # config values; non-leading streams are resampled onto that grid
+            # (identity for single-stream datasets). The model pads to a
+            # multiple of max_div_factor at eval (av_fd_no_recon.py:456-463)
+            # — here that's the collator's job (collate_infer_varlen).
+            feat_stride = float(self.feat_stride)
+            num_frames = float(self.num_frames)
+            feats = resample_concat_np(streams, video_rows)
         return {
             "video_id": item["id"],
             "feats": feats,

@@ -29,12 +29,24 @@ from .decode import TestConfig, decode_and_postprocess
 
 def build_inference_fn(cfg: ArchConfig, test_cfg: TestConfig):
     """Returns jit fn(params, feats, mask, fps, dur, stride, nframes) ->
-    (segs, scores, cls, valid, video_cls)."""
+    (segs, scores, cls, valid, video_cls).
+
+    Shape-polymorphic over T: the point table is regenerated at trace time
+    from ``feats.shape[1]``, so non-upsampled / over-length eval inputs
+    (padded on the host to a multiple of ``cfg.max_div_factor``, at least
+    ``max_seq_len`` — av_fd_no_recon.py:456-463) just trigger a new jit
+    specialization; the abs-PE re-interpolates for T > max_seq_len
+    (backbones.py:137-152 -> models/backbones.py::_abs_pe)."""
     model = AVLocalizer(cfg)
-    points = generate_points(cfg.fpn_lens, cfg.fpn_strides, cfg.regression_range)
 
     @jax.jit
     def fn(params, feats, mask, fps, duration, feat_stride, feat_num_frames):
+        t = feats.shape[1]
+        assert t % cfg.max_div_factor == 0 and t >= cfg.max_seq_len, (
+            f"eval T={t} must be >= max_seq_len and divisible by "
+            f"max_div_factor={cfg.max_div_factor}")
+        points = generate_points([t // s for s in cfg.fpn_strides],
+                                 cfg.fpn_strides, cfg.regression_range)
         out = model.apply(params, feats, mask, train=False)
         segs, scores, cls_idxs, valid = decode_and_postprocess(
             out, points, fps, duration, feat_stride, feat_num_frames,
@@ -87,6 +99,34 @@ def build_online_inference_fn(cfg: ArchConfig, test_cfg: TestConfig,
         return segs, scores, cls_idxs, valid, video_cls
 
     return fn
+
+
+def collate_infer_varlen(samples: List[dict], max_div_factor: int, min_len: int,
+                         transfer_dtype=np.float32):
+    """Batch the non-upsampled (force_upsampling: false) eval path: pad
+    variable-length features to the batch max rounded up to a multiple of
+    ``max_div_factor`` and at least ``min_len`` (= max_seq_len), with
+    per-sample validity masks — the batched analogue of the reference's
+    bs=1 eval padding (av_fd_no_recon.py:456-463)."""
+    lens = [s["feats"].shape[0] for s in samples]
+    t = max(max(lens), min_len)
+    t = (t + max_div_factor - 1) // max_div_factor * max_div_factor
+    b, c = len(samples), samples[0]["feats"].shape[1]
+    feats = np.zeros((b, t, c), transfer_dtype)
+    mask = np.zeros((b, t), bool)
+    for i, (s, n) in enumerate(zip(samples, lens)):
+        feats[i, :n] = s["feats"]
+        mask[i, :n] = True
+    return {
+        "feats": feats,
+        "mask": mask,
+        "fps": np.asarray([s["fps"] for s in samples], np.float32),
+        "duration": np.asarray([s["duration"] for s in samples], np.float32),
+        "feat_stride": np.asarray([s["feat_stride"] for s in samples], np.float32),
+        "feat_num_frames": np.asarray([s["feat_num_frames"] for s in samples],
+                                      np.float32),
+        "video_ids": [s["video_id"] for s in samples],
+    }
 
 
 def collate_streams(samples: List[dict], caps: List[int]):
