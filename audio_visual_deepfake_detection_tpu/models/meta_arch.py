@@ -87,13 +87,22 @@ class ArchConfig:
     @property
     def max_div_factor(self) -> int:
         """Padding granularity for over-length inference inputs
-        (av_fd_no_recon.py:217-224)."""
+        (av_fd_no_recon.py:217-224). Additionally lifted to a multiple of the
+        DeepInterpolator Contraction's total downsampling (5 stride-2 stages,
+        blocks.py:1544-1565) for the recovery variants — the reference omits
+        this and merely happens to work because its production value (96) is
+        a multiple of 32; smaller configs would crash its stride-divisibility
+        assert (blocks.py:13-63) inside the interpolator at eval."""
+        import math
+
         m = 1
         for s, w in zip(self.fpn_strides, self.mha_win_size):
             stride = s * (w // 2) * 2 if w > 1 else s
             assert self.max_seq_len % stride == 0, \
                 "max_seq_len must be divisible by fpn stride * window size"
             m = max(m, stride)
+        if self.variant in ("av_recovery", "av_recovery_norecon"):
+            m = m * 32 // math.gcd(m, 32)
         return m
 
 
@@ -261,15 +270,25 @@ def compute_losses(
     label_smoothing: float = 0.1,
     variant: str = "av_recovery_norecon",
     frame_gt: Optional[jnp.ndarray] = None,  # (B, T) for the THE variant
+    row_valid: Optional[jnp.ndarray] = None,  # (B,) bool — False on pad rows
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Returns (loss dict incl. final_loss, num_pos). NOTE the reference
     updates the EMA loss normalizer BEFORE dividing (av_fd_no_recon.py:644-667)
     — so the losses here are normalized by the *updated* value; the train step
     must store ``update_loss_normalizer(loss_normalizer, num_pos)`` as the new
-    state (identical math)."""
+    state (identical math).
+
+    ``row_valid`` masks rows appended by ``parallel.mesh.pad_batch_to`` out of
+    the batch-summed losses (video-level reco_cls focal, recon L1, frame-seg
+    focal); point-level losses are already excluded via the all-False fpn
+    masks of padded rows. With ``row_valid=None`` every row is real."""
     valid_mask = jnp.concatenate(outputs["fpn_masks"], axis=1)       # (B, P)
     logits = jnp.concatenate(outputs["out_cls"], axis=1)             # (B, P, C)
     pred_off = jnp.concatenate(outputs["out_offsets"], axis=1)       # (B, P, 2)
+
+    if row_valid is None:
+        row_valid = jnp.ones(logits.shape[0], bool)
+    row_f32 = row_valid.astype(jnp.float32)
 
     include = valid_mask & has_gt[:, None]                            # (B, P)
     pos_mask = (jnp.sum(gt_cls, axis=-1) > 0) & include               # (B, P)
@@ -284,17 +303,25 @@ def compute_losses(
     reg_loss = jnp.sum(reg_elem * pos_mask) / normalizer
 
     losses = {"cls_loss": cls_loss, "reg_loss": reg_loss}
-    final = cls_loss + reg_loss * loss_weight
+    if loss_weight > 0:
+        weight = loss_weight
+    else:
+        # auto-balancing (av_fd_no_recon.py:692-695): detached cls/reg ratio;
+        # .detach() / .item() in the reference => stop_gradient on both sides
+        weight = jax.lax.stop_gradient(
+            cls_loss / jnp.maximum(reg_loss, 0.01))
+    final = cls_loss + reg_loss * weight
 
     if "cls_scores" in outputs:
         video_gt = has_gt.astype(jnp.float32)[:, None]                # (B, 1)
-        reco_cls = jnp.sum(sigmoid_focal_loss(outputs["cls_scores"], video_gt))
+        reco_cls = jnp.sum(
+            sigmoid_focal_loss(outputs["cls_scores"], video_gt) * row_f32[:, None])
         losses["reco_cls_loss"] = reco_cls
         final = final + 0.1 * reco_cls
 
     if variant == "av_recovery" and outputs.get("reco") is not None:
         # L1 reconstruction on real (no-gt) samples only (av_fd_meta_arch.py)
-        real = (~has_gt).astype(jnp.float32)
+        real = (~has_gt).astype(jnp.float32) * row_f32
         diff = jnp.abs(outputs["reco"] - outputs["norm_inputs"])
         per_sample = jnp.mean(diff, axis=(1, 2))
         reco_loss = jnp.sum(per_sample * real) / jnp.maximum(jnp.sum(real), 1.0)
@@ -305,7 +332,8 @@ def compute_losses(
         # frame-level focal loss: computed but EXCLUDED from final_loss,
         # matching the reference (av_fd_no_recon2.py:718-734)
         seg_elem = sigmoid_focal_loss(outputs["seg_scores"], frame_gt)
-        losses["reco_seg_loss"] = jnp.sum(seg_elem) / (normalizer * 10.0)
+        losses["reco_seg_loss"] = (jnp.sum(seg_elem * row_f32[:, None])
+                                   / (normalizer * 10.0))
 
     losses["final_loss"] = final
     return losses, num_pos

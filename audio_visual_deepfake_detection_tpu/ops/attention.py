@@ -121,7 +121,14 @@ def full_attention(
     q: (B, H, Tq, D) pre-scaled; k, v: (B, H, Tk, D); kv_valid: (B, Tk).
     """
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-    att = jnp.where(kv_valid[:, None, None, :], att, -jnp.inf)
+    # -1e30, not -inf: for any row with >=1 valid key, exp(-1e30 - max)
+    # underflows to exactly 0.0 so the result is bit-identical to the
+    # reference's -inf fill; for a FULLY-masked row (a pad_batch_to pad row —
+    # the reference never produces one) -inf would make both softmax and its
+    # vjp NaN, poisoning the backward of every upstream parameter even though
+    # the forward output is masked away. With the finite fill the row
+    # softmaxes to uniform and the v-mask multiply below zeroes it.
+    att = jnp.where(kv_valid[:, None, None, :], att, -1e30)
     att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
     v = v * kv_valid[:, None, :, None].astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", att, v)

@@ -7,4 +7,5 @@ from .mesh import (  # noqa: F401
     replicate_tree,
     replicated,
     shard_batch,
+    warmup_collectives,
 )

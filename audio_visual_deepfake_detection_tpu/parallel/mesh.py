@@ -41,20 +41,70 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place numpy batch arrays on the mesh, leading axis over data."""
+def warmup_collectives(mesh: Mesh) -> None:
+    """Multi-host only: establish the cross-host communicator clique with a
+    trivial all-reduce while the host processes are still in lockstep.
+
+    The backend creates its collective context (Gloo over TCP on CPU, ICI
+    rings on TPU pods) lazily at the FIRST collective, with a short peer
+    rendezvous timeout (~30 s for Gloo's key-value exchange). The first real
+    collective of a training run sits after minutes of compilation whose
+    duration can differ per host (cache hits, CPU contention), so hosts would
+    reach it tens of seconds apart and flake the rendezvous. This sub-second
+    program pins the context while the skew is still milliseconds; later
+    collectives reuse it."""
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+
     sharding = batch_sharding(mesh)
+    local = np.zeros(mesh.devices.size // jax.process_count(), np.float32)
+    arr = jax.make_array_from_process_local_data(
+        sharding, local, (mesh.devices.size,))
+    out = jax.jit(jnp.sum, out_shardings=replicated(mesh))(arr)
+    jax.block_until_ready(out)
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place numpy batch arrays on the mesh, leading axis over data.
+
+    Single-host: a plain sharded device_put. Multi-host (the mesh spans
+    processes): each process holds only ITS slice of the global batch (the
+    loader's ``shard_rank``/``num_shards`` strided slice), and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    the process-local rows land on local devices, no cross-host copy."""
+    sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
     out = {}
     for key, value in batch.items():
         if key == "video_ids":
             out[key] = value
-            continue
-        out[key] = jax.device_put(value, sharding)
+        elif key == "streams" or key == "rows":
+            out[key] = tuple(_put_global(v, sharding, multihost) for v in value)
+        else:
+            out[key] = _put_global(value, sharding, multihost)
     return out
 
 
+def _put_global(value, sharding: NamedSharding, multihost: bool):
+    if not multihost:
+        return jax.device_put(value, sharding)
+    value = np.asarray(value)
+    global_shape = (value.shape[0] * jax.process_count(),) + value.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, value, global_shape)
+
+
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree over the whole mesh. Multi-host: every process must
+    hold the SAME host values (guaranteed by seeded init / checkpoint
+    restore); each process then donates the full array as its local shards."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
@@ -92,8 +142,11 @@ def device_prefetch(batch_iter, mesh: Optional[Mesh] = None, depth: int = 2):
 
 def pad_batch_to(batch: dict, target: int) -> dict:
     """Pad the leading axis to ``target`` (keeps jit shapes static for the
-    last partial batch); padded rows get mask=False and has_gt=False so they
-    contribute nothing to losses or results."""
+    last partial batch). Padded rows get mask=False and has_gt=False, which
+    zeroes the point-level losses; batch-summed losses (video-level reco_cls
+    focal etc.) additionally need the emitted ``row_valid`` mask, which
+    ``compute_losses`` consumes — with it, a padded batch's losses equal the
+    unpadded batch's exactly (tests/test_train.py::test_padded_batch_losses)."""
     b = (batch["streams"][0] if "streams" in batch else batch["feats"]).shape[0]
     if b == target:
         return batch
@@ -115,5 +168,6 @@ def pad_batch_to(batch: dict, target: int) -> dict:
             out[key] = pad_one(value, 1)
         else:
             out[key] = pad_one(value)
+    out["row_valid"] = np.arange(target) < b
     out["_real_rows"] = b
     return out

@@ -57,7 +57,11 @@ def build_train_step(
     plus the host-drawn crop window (``win_st``/``win_len``) instead of
     resampled ``feats``/``mask``; the per-stream linear resample and the
     window crop run fused inside the train program
-    (ops/resample.py::linear_resample_dynamic), bit-matching the host path.
+    (ops/resample.py::linear_resample_dynamic). Bit-matches the host path
+    when streams are shipped in float32; with a bfloat16 infeed
+    (train.py --device-resample + compute_dtype bfloat16) the lerp runs in
+    bf16 while the host path resamples in f32 before the downcast, so
+    results agree only to bf16 rounding.
     """
     model = AVLocalizer(cfg)
     points = model_points(cfg)
@@ -95,7 +99,8 @@ def build_train_step(
                 out, gt_cls, gt_off, batch["has_gt"], state.loss_normalizer,
                 num_classes=cfg.num_classes, loss_weight=loss_weight,
                 label_smoothing=label_smoothing, variant=cfg.variant,
-                frame_gt=batch.get("frame_labels"))
+                frame_gt=batch.get("frame_labels"),
+                row_valid=batch.get("row_valid"))
             return losses["final_loss"], (losses, num_pos)
 
         (final, (losses, num_pos)), grads = jax.value_and_grad(

@@ -126,6 +126,103 @@ def test_train_step_sharded_8dev(rng):
     assert np.isfinite(float(losses["final_loss"]))
 
 
+def test_padded_batch_losses(rng):
+    """pad_batch_to invariant: a partial batch padded to a larger static
+    shape produces EXACTLY the same losses (incl. the batch-summed video
+    reco_cls focal, which needs the row_valid mask) and the same parameter
+    update as the unpadded batch."""
+    from audio_visual_deepfake_detection_tpu.parallel import pad_batch_to
+
+    cfg = tiny_cfg()
+    step = jax.jit(build_train_step(cfg, TRAIN_CFG))
+    batch = make_batch(rng, 3, cfg)
+    padded = pad_batch_to(dict(batch), 5)
+    assert padded["feats"].shape[0] == 5
+    assert padded["row_valid"].tolist() == [True] * 3 + [False] * 2
+    padded.pop("_real_rows")
+
+    state, _ = make_state(cfg)
+    s_a, l_a = step(state, batch)
+    s_b, l_b = step(state, padded)
+
+    for key in ("cls_loss", "reg_loss", "reco_cls_loss", "final_loss", "num_pos"):
+        np.testing.assert_allclose(float(l_a[key]), float(l_b[key]), rtol=1e-6,
+                                   err_msg=f"padded-batch mismatch in {key}")
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_padded_batch_losses_the_variant(rng):
+    """Same invariant for the THE variant's frame-seg focal (batch-summed)."""
+    import dataclasses
+    from audio_visual_deepfake_detection_tpu.parallel import pad_batch_to
+
+    cfg = dataclasses.replace(tiny_cfg(), variant="av_recovery_the")
+    step = jax.jit(build_train_step(cfg, TRAIN_CFG))
+    batch = make_batch(rng, 2, cfg)
+    batch["frame_labels"] = np.zeros((2, cfg.max_seq_len), np.float32)
+    batch["frame_labels"][:, 20:40] = 1.0
+    padded = pad_batch_to(dict(batch), 4)
+    padded.pop("_real_rows")
+
+    state, _ = make_state(cfg)
+    _, l_a = step(state, batch)
+    _, l_b = step(state, padded)
+    for key in ("reco_seg_loss", "final_loss"):
+        np.testing.assert_allclose(float(l_a[key]), float(l_b[key]), rtol=1e-6,
+                                   err_msg=f"padded-batch mismatch in {key}")
+
+
+def test_auto_loss_weight(rng):
+    """loss_weight <= 0 => dynamic cls/reg ratio (av_fd_no_recon.py:692-695):
+    weight = stop_grad(cls_loss / max(reg_loss, 0.01)); the weight carries no
+    gradient of its own."""
+    from audio_visual_deepfake_detection_tpu.models import (
+        AVLocalizer, compute_losses, label_points, model_points)
+
+    cfg = tiny_cfg()
+    batch = make_batch(rng, 2, cfg)
+    params, _ = init_model(cfg, 2, 0)
+    pts = model_points(cfg)
+    gt_cls, gt_off = label_points(
+        pts, jnp.asarray(batch["gt_segments"]), jnp.asarray(batch["gt_labels"]),
+        jnp.asarray(batch["gt_valid"]), 1)
+    model = AVLocalizer(cfg)
+    out = model.apply(params, jnp.asarray(batch["feats"]),
+                      jnp.asarray(batch["mask"]), train=False)
+
+    def losses_for(w):
+        losses, _ = compute_losses(
+            out, gt_cls, gt_off, jnp.asarray(batch["has_gt"]),
+            jnp.asarray(200.0), num_classes=1, loss_weight=w,
+            label_smoothing=0.1)
+        return losses
+
+    auto = losses_for(-1.0)
+    cls_l, reg_l = float(auto["cls_loss"]), float(auto["reg_loss"])
+    expect_w = cls_l / max(reg_l, 0.01)
+    np.testing.assert_allclose(float(auto["final_loss"]) - float(auto["reco_cls_loss"]) * 0.1,
+                               cls_l + reg_l * expect_w, rtol=1e-5)
+
+    # the auto weight is stop_gradded: d(final)/d(logits) must equal the
+    # fixed-weight gradient evaluated at the same weight value
+    logits = jnp.concatenate(out["out_cls"], axis=1)
+
+    def final_with(w, off_scale):
+        shifted = dict(out)
+        shifted["out_offsets"] = [o * off_scale for o in out["out_offsets"]]
+        losses, _ = compute_losses(
+            shifted, gt_cls, gt_off, jnp.asarray(batch["has_gt"]),
+            jnp.asarray(200.0), num_classes=1, loss_weight=w,
+            label_smoothing=0.1)
+        return losses["final_loss"]
+
+    g_auto = jax.grad(lambda s: final_with(-1.0, s))(1.0)
+    g_fixed = jax.grad(lambda s: final_with(expect_w, s))(1.0)
+    np.testing.assert_allclose(float(g_auto), float(g_fixed), rtol=1e-5)
+
+
 def test_remat_grads_match(rng):
     """Activation checkpointing changes memory, not math: identical grads."""
     import dataclasses
