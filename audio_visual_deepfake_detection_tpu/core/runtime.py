@@ -5,6 +5,38 @@ from __future__ import annotations
 import os
 
 
+def init_distributed() -> tuple[int, int]:
+    """Multi-host (DCN) wiring: initialize the JAX distributed runtime and
+    return (process_index, process_count).
+
+    The reference has NO distributed backend (SURVEY §2.3 — its only
+    scale-out is manual shard files merged by a notebook); here multi-host is
+    the same SPMD mesh extended over DCN. Three modes:
+
+    - ``AVDD_COORDINATOR=host:port`` + ``AVDD_NUM_PROCESSES`` +
+      ``AVDD_PROCESS_ID``: explicit wiring (works on CPU too — jaxlib's Gloo
+      collectives — which is how tests/test_multihost.py drives the real
+      CLIs as 2 host processes),
+    - ``AVDD_AUTO_DISTRIBUTED=1``: ``jax.distributed.initialize()`` with
+      TPU-pod auto-detection,
+    - neither set: single-process, returns (0, 1) without touching the
+      distributed runtime.
+    """
+    import jax
+
+    coord = os.environ.get("AVDD_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["AVDD_NUM_PROCESSES"]),
+            process_id=int(os.environ["AVDD_PROCESS_ID"]))
+    elif os.environ.get("AVDD_AUTO_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+    else:
+        return 0, 1
+    return jax.process_index(), jax.process_count()
+
+
 def setup_jax(cache_dir: str | None = None) -> None:
     """Enable the persistent compilation cache (first TPU compile of the full
     localizer is expensive; the cache makes reruns near-instant)."""

@@ -25,9 +25,14 @@ def _sigmoid(x: float) -> float:
 
 
 def iter_shard_items(base_folder: str, num_shards: int = 7) -> Iterable[dict]:
-    """Yield result items from <base>/<i>/data*.json across shards."""
+    """Yield result items from <base>/<i>/[host<k>/]data*.json across shards
+    (the recursive level covers multi-host inference's per-host
+    subfolders)."""
     for subi in range(1, num_shards + 1):
-        for json_file in sorted(glob.glob(os.path.join(base_folder, str(subi), "*.json"))):
+        shard_dir = os.path.join(base_folder, str(subi))
+        json_files = sorted(glob.glob(os.path.join(shard_dir, "*.json"))) + \
+            sorted(glob.glob(os.path.join(shard_dir, "host*", "*.json")))
+        for json_file in json_files:
             with open(json_file, "r", encoding="utf-8") as f:
                 for item in json.load(f):
                     yield item

@@ -19,6 +19,18 @@ import orbax.checkpoint as ocp
 
 
 def _checkpointer():
+    if jax.process_count() > 1:
+        # Multi-host runs checkpoint from process 0 only (train.py gates the
+        # call; the state is fully replicated so one host has everything, and
+        # restores are local file reads on every host). Scope orbax's
+        # process-sync barriers to the calling process — the default spans
+        # ALL processes and would deadlock against the hosts that never call.
+        opts = ocp.options.MultiprocessingOptions(
+            primary_host=jax.process_index(),
+            active_processes={jax.process_index()},
+            barrier_sync_key_prefix=f"proc{jax.process_index()}")
+        return ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                                multiprocessing_options=opts)
     return ocp.PyTreeCheckpointer()
 
 

@@ -11,15 +11,17 @@ import time
 import jax
 import numpy as np
 
-from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+from audio_visual_deepfake_detection_tpu.core.runtime import (
+    init_distributed, setup_jax)
+PROC_ID, NUM_PROCS = init_distributed()
 setup_jax()
 
 from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config, test_config_from)
 from audio_visual_deepfake_detection_tpu.data import DeepfakeInferenceDataset, DataLoader
 from audio_visual_deepfake_detection_tpu.infer.runner import (
-    build_inference_fn, build_online_inference_fn, collate_streams,
-    inference_one_epoch)
+    build_inference_fn, build_online_inference_fn, collate_infer_varlen,
+    collate_streams, inference_one_epoch)
 from audio_visual_deepfake_detection_tpu.parallel import pad_batch_to
 from audio_visual_deepfake_detection_tpu.train import (
     init_model, latest_epoch_path, restore_params)
@@ -82,13 +84,23 @@ def main(args):
                 "streams": tuple(s.astype(transfer_dtype) for s in streams),
                 "rows": rows, "duration": duration, "video_ids": video_ids,
             }
+    elif not dataset.force_upsampling:
+        def collate(samples):
+            return collate_infer_varlen(samples, cfg.max_div_factor,
+                                        cfg.max_seq_len, transfer_dtype)
     else:
         def collate(samples):
             return collate_infer(samples, transfer_dtype)
 
+    # Multi-host: inference is embarrassingly parallel — each host takes a
+    # strided slice of the shard list and runs independently on its local
+    # devices (no collectives); outputs land in per-host subfolders that
+    # generate_results merges (the reference's manual 7-shard split,
+    # automated one level further down).
     loader = DataLoader(dataset, args.batch_size, collate,
                         shuffle=False, drop_last=False,
-                        num_workers=config["loader"]["num_workers"])
+                        num_workers=config["loader"]["num_workers"],
+                        shard_rank=PROC_ID, num_shards=NUM_PROCS)
 
     params, _ = init_model(cfg, 1, config["init_rand_seed"])
     params = restore_params(ckpt, params, use_ema=True)  # EMA weights (inference.py:74-76)
@@ -100,6 +112,8 @@ def main(args):
         infer_fn = build_inference_fn(cfg, test_cfg)
 
     out_folder = os.path.join(config["output_folder"], str(args.sub_index))
+    if NUM_PROCS > 1:
+        out_folder = os.path.join(out_folder, f"host{PROC_ID}")
     os.makedirs(out_folder, exist_ok=True)
 
     def batches():

@@ -14,14 +14,17 @@ from pprint import pformat
 import jax
 import numpy as np
 
-from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+from audio_visual_deepfake_detection_tpu.core.runtime import (
+    init_distributed, setup_jax)
+PROC_ID, NUM_PROCS = init_distributed()
 setup_jax()
 
 from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config)
 from audio_visual_deepfake_detection_tpu.data import (
     DeepfakeDataset, DataLoader, collate_batch, collate_train_streams)
-from audio_visual_deepfake_detection_tpu.parallel import make_mesh, replicate_tree
+from audio_visual_deepfake_detection_tpu.parallel import (
+    make_mesh, replicate_tree, warmup_collectives)
 from audio_visual_deepfake_detection_tpu.train import (
     MetricsLogger, TrainState, build_train_step, init_model, make_optimizer,
     restore_checkpoint, save_checkpoint, train_one_epoch)
@@ -32,13 +35,19 @@ def main(args):
     seed = config["init_rand_seed"]
     np.random.seed(seed & 0x7FFFFFFF)
 
-    # output folder, timestamped like the reference (train.py:41-51)
-    ts = time.strftime("%Y_%m_%d_%H_%M_%S")
+    # output folder, timestamped like the reference (train.py:41-51).
+    # Multi-host: only process 0 writes run artifacts; all processes must
+    # agree on the folder name, so the timestamp excludes seconds drift by
+    # being taken once and broadcast via the (identical) CLI args + config —
+    # hosts launched within the same minute agree.
+    ts = time.strftime("%Y_%m_%d_%H_%M") if NUM_PROCS > 1 \
+        else time.strftime("%Y_%m_%d_%H_%M_%S")
     run_name = args.output or ts
     out_folder = os.path.join(config["output_folder"], f"{run_name}_{ts}")
-    os.makedirs(out_folder, exist_ok=True)
-    with open(os.path.join(out_folder, "config.txt"), "w") as f:
-        f.write(pformat(config))
+    if PROC_ID == 0:
+        os.makedirs(out_folder, exist_ok=True)
+        with open(os.path.join(out_folder, "config.txt"), "w") as f:
+            f.write(pformat(config))
 
     if args.device_resample:
         config["dataset"]["device_resample"] = True
@@ -74,22 +83,31 @@ def main(args):
             return batch
 
     mesh = make_mesh(config["tpu"]["dp_size"])
-    n_dev = mesh.devices.size
+    warmup_collectives(mesh)  # multi-host: pin the communicator clique now
+    n_dev = mesh.devices.size  # GLOBAL device count (all hosts)
     batch_size = config["loader"]["batch_size"]
-    # scale LR by device count like the reference scales by #GPUs (train.py:60-61)
+    # scale LR by global device count like the reference scales by #GPUs
+    # (train.py:60-61)
     config["opt"]["learning_rate"] *= n_dev
     batch_size *= n_dev
+    assert batch_size % NUM_PROCS == 0, \
+        f"global batch {batch_size} must divide across {NUM_PROCS} hosts"
+    local_batch = batch_size // NUM_PROCS
 
+    # per-host loader: every host draws the same seeded permutation and keeps
+    # its strided slice (DCN data path of SURVEY §2.3's DP row)
     loader = DataLoader(
-        dataset, batch_size, collate, shuffle=True, drop_last=True,
+        dataset, local_batch, collate, shuffle=True, drop_last=True,
         num_workers=config["loader"]["num_workers"] * n_dev, seed=seed,
-        prefetch=config["tpu"]["prefetch"])
+        prefetch=config["tpu"]["prefetch"],
+        shard_rank=PROC_ID, num_shards=NUM_PROCS)
 
     cfg = arch_config_from(config)
     params, rng = init_model(cfg, batch_size, seed)
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
     print(f"Model: {cfg.variant}, {n_params/1e6:.2f}M params, "
-          f"mesh={n_dev} device(s), batch={batch_size}")
+          f"mesh={n_dev} device(s) / {NUM_PROCS} host(s), "
+          f"global batch={batch_size}")
 
     tx, schedule = make_optimizer(
         params, config["opt"], num_iters_per_epoch=len(loader),
@@ -106,7 +124,7 @@ def main(args):
         build_train_step(cfg, config["train_cfg"],
                          online_resample=args.device_resample),
         donate_argnums=0)
-    logger = MetricsLogger(out_folder)
+    logger = MetricsLogger(out_folder) if PROC_ID == 0 else None
 
     max_epochs = config["opt"].get(
         "early_stop_epochs",
@@ -116,12 +134,14 @@ def main(args):
         state = train_one_epoch(
             loader, state, train_step, epoch, mesh=mesh, schedule=schedule,
             logger=logger, print_freq=args.print_freq,
-            ckpt_every_iters=args.ckpt_iter_freq,
+            ckpt_every_iters=args.ckpt_iter_freq if PROC_ID == 0 else 0,
             ckpt_folder=os.path.join(out_folder, "iters_ckpt"),
-            batch_size=batch_size)
-        if (epoch == max_epochs - 1) or ((epoch + 1) % args.ckpt_freq == 0):
+            batch_size=local_batch)
+        if PROC_ID == 0 and ((epoch == max_epochs - 1)
+                             or ((epoch + 1) % args.ckpt_freq == 0)):
             save_checkpoint(out_folder, epoch + 1, jax.device_get(state), is_best=True)
-    logger.close()
+    if logger is not None:
+        logger.close()
     print(f"Training done -> {out_folder}")
 
 
