@@ -7,6 +7,7 @@ from .detection import (  # noqa: F401
     interpolated_prec_rec,
     postprocess_results_with_cls,
     remove_duplicate_annotations,
+    results_to_array,
     segment_iou,
     topkx_recall,
 )

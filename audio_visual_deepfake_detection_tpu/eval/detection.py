@@ -309,6 +309,28 @@ def remove_duplicate_annotations(ants: Sequence[dict], tol: float = 1e-3) -> Lis
     return valid
 
 
+def results_to_array(preds: Dict[str, np.ndarray], num_pred: int = 200
+                     ) -> Dict[str, dict]:
+    """Flat prediction table -> per-video arrays sorted by score desc and
+    truncated to ``num_pred`` (libs/utils/postprocessing.py:56-95) — the
+    input format of :func:`postprocess_results_with_cls`."""
+    out: Dict[str, dict] = {}
+    vids = np.asarray(preds["video-id"])
+    for vid in sorted(set(vids.tolist())):
+        idx = np.nonzero(vids == vid)[0]
+        score = np.asarray(preds["score"], np.float64)[idx]
+        order = np.argsort(score)[::-1][:num_pred]
+        keep = idx[order]
+        out[vid] = {
+            "label": np.asarray(preds["label"])[keep],
+            "score": score[order],
+            "segment": np.stack([np.asarray(preds["t-start"], np.float64)[keep],
+                                 np.asarray(preds["t-end"], np.float64)[keep]],
+                                axis=1),
+        }
+    return out
+
+
 def postprocess_results_with_cls(
     results: Dict[str, dict], cls_scores: Dict[str, Sequence[float]],
     num_pred: int = 200, topk: int = 2,

@@ -105,13 +105,20 @@ def _run(args, timeout=480):
     return proc
 
 
-def test_train_and_infer_cli(workspace):
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Train once; downstream CLI tests reuse the checkpoint."""
     root, cfg_path = workspace
     _run(["train.py", str(cfg_path), "--output", "smoke",
           "--ckpt-iter-freq", "0", "-p", "2"])
     runs = glob.glob(str(root / "runs" / "smoke_*"))
     assert runs, "no run folder created"
-    run_dir = runs[0]
+    return runs[0]
+
+
+def test_train_and_infer_cli(workspace, trained):
+    root, cfg_path = workspace
+    run_dir = trained
     ckpts = glob.glob(os.path.join(run_dir, "epoch_*"))
     assert ckpts, "no checkpoint written"
     assert os.path.exists(os.path.join(run_dir, "config.txt"))
@@ -151,6 +158,44 @@ def test_train_and_infer_cli(workspace):
         np.testing.assert_allclose(
             np.asarray(online["segments"], np.float64).reshape(-1, 2),
             np.asarray(host["segments"], np.float64).reshape(-1, 2), atol=1e-3)
+
+
+def test_validate_cli(workspace, trained):
+    """validate.py: dev-split mAP, --saveonly pickle branch, and the topk
+    external-cls fusion branch (train_utils.py:403-508 semantics)."""
+    import pickle
+
+    root, cfg_path = workspace
+
+    # normal evaluation branch
+    out_json = str(root / "val_proposals.json")
+    proc = _run(["validate.py", str(cfg_path), "--ckpt", trained,
+                 "--batch-size", "4", "--output", out_json])
+    assert "challenge mAP:" in proc.stdout
+    assert os.path.exists(out_json)
+
+    # --saveonly: raw pickle, no evaluation
+    out_pkl = str(root / "val_results.pkl")
+    proc = _run(["validate.py", str(cfg_path), "--ckpt", trained,
+                 "--batch-size", "4", "--saveonly", "--output", out_pkl])
+    assert "saveonly" in proc.stdout
+    with open(out_pkl, "rb") as f:
+        saved = pickle.load(f)
+    assert set(saved) == {"video-id", "t-start", "t-end", "label", "score"}
+
+    # topk external-cls fusion: write a cls-score file + fusion config
+    import yaml as _yaml
+
+    vids = sorted(set(saved["video-id"]))
+    cls_file = root / "cls_scores.json"
+    cls_file.write_text(json.dumps({v: [0.8, 0.3] for v in vids}))
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["test_cfg"]["ext_score_file"] = str(cls_file)
+    fusion_cfg = root / "config_fusion.yaml"
+    fusion_cfg.write_text(_yaml.safe_dump(cfg))
+    proc = _run(["validate.py", str(fusion_cfg), "--ckpt", trained,
+                 "--batch-size", "4", "--fusion", "topk"])
+    assert "topk-fused" in proc.stdout
 
 
 def test_train_cli_device_resample(workspace):

@@ -8,7 +8,8 @@ import pytest
 
 from audio_visual_deepfake_detection_tpu.eval import (
     ANETdetection, CHALLENGE_TIOUS, average_recall_vs_nr_proposals,
-    postprocess_results_with_cls, remove_duplicate_annotations, run_evaluation)
+    postprocess_results_with_cls, remove_duplicate_annotations,
+    results_to_array, run_evaluation)
 from audio_visual_deepfake_detection_tpu.infer.results import (
     write_segment_predictions, write_video_predictions)
 
@@ -109,6 +110,58 @@ def test_remove_duplicate_annotations():
         {"segment": [3.0, 4.0], "label_id": 0},
     ]
     assert len(remove_duplicate_annotations(ants)) == 2
+
+
+def test_results_to_array_fusion_vs_reference(tmp_path):
+    """Flat table -> per-video arrays -> topk cls fusion matches the
+    reference postprocess_results (libs/utils/postprocessing.py:56-155)
+    end to end."""
+    import importlib.util
+    import json
+    import sys
+    import types
+
+    pytest.importorskip("torch")
+    pytest.importorskip("pandas")
+    ref_root = "/root/reference/libs/utils"
+    if "refutils.postprocessing" not in sys.modules:
+        pkg = types.ModuleType("refutils")
+        pkg.__path__ = [ref_root]
+        sys.modules["refutils"] = pkg
+        for name in ("metrics", "postprocessing"):
+            spec = importlib.util.spec_from_file_location(
+                f"refutils.{name}", f"{ref_root}/{name}.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f"refutils.{name}"] = mod
+            spec.loader.exec_module(mod)
+    ref_pp = sys.modules["refutils.postprocessing"]
+
+    rng = np.random.default_rng(5)
+    flat = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
+    cls_scores = {}
+    for vid in ("a.mp4", "b.mp4", "c.mp4"):
+        n = int(rng.integers(3, 8))
+        starts = rng.uniform(0, 10, n)
+        flat["video-id"].extend([vid] * n)
+        flat["t-start"].extend(starts.tolist())
+        flat["t-end"].extend((starts + rng.uniform(0.1, 2, n)).tolist())
+        flat["label"].extend([0] * n)
+        flat["score"].extend(rng.uniform(0, 1, n).tolist())
+        cls_scores[vid] = rng.uniform(0, 1, 4).tolist()
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    cls_file = tmp_path / "cls.json"
+    cls_file.write_text(json.dumps(cls_scores))
+
+    ref_out = ref_pp.postprocess_results(
+        dict(flat), str(cls_file), num_pred=5, topk=2)
+    ours = postprocess_results_with_cls(
+        results_to_array(flat, num_pred=5), cls_scores, num_pred=5, topk=2)
+
+    assert list(ours["video-id"]) == list(ref_out["video-id"])
+    for key in ("t-start", "t-end", "score"):
+        np.testing.assert_allclose(ours[key], ref_out[key], atol=1e-12,
+                                   err_msg=key)
+    np.testing.assert_array_equal(ours["label"], ref_out["label"])
 
 
 def test_postprocess_results_with_cls():

@@ -71,6 +71,39 @@ def main(args):
     results, _ = inference_one_epoch(batches(), infer_fn, params,
                                      output_folder=None,
                                      print_freq=args.print_freq)
+
+    if args.saveonly:
+        # pickle branch of valid_one_epoch (train_utils.py:499-502): dump the
+        # flat prediction table for offline evaluation, no mAP computed
+        import pickle
+
+        out_pkl = args.output or "eval_results.pkl"
+        with open(out_pkl, "wb") as f:
+            pickle.dump(results, f)
+        print(f"saved raw results to {out_pkl} (saveonly: no evaluation)")
+        return
+
+    if test_cfg.ext_score_file and args.fusion == "topk":
+        # evaluator branch of valid_one_epoch (train_utils.py:487-491):
+        # sqrt(topk_cls x seg_score) fusion (postprocessing.py:97-155)
+        # before EPIC-style mAP
+        import json
+
+        from audio_visual_deepfake_detection_tpu.eval.detection import (
+            ANETdetection, postprocess_results_with_cls, results_to_array)
+
+        with open(test_cfg.ext_score_file) as f:
+            cls_scores = json.load(f)
+        if "results" in cls_scores:
+            cls_scores = cls_scores["results"]
+        fused = postprocess_results_with_cls(
+            results_to_array(results, num_pred=args.ext_num_pred),
+            cls_scores, num_pred=args.ext_num_pred, topk=args.ext_topk)
+        evaluator = ANETdetection(gt_records)
+        _, mAP_arr, avg = evaluator.evaluate(fused, verbose=True)
+        print(f"challenge mAP (topk-fused): {float(np.mean(mAP_arr)) * 100:.3f}")
+        return
+
     out_json = args.output or "eval_proposals.json"
     mAP, _ = run_evaluation(results, gt_records, out_json,
                             cls_score_file=test_cfg.ext_score_file)
@@ -83,6 +116,17 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--no-ema", action="store_true")
+    parser.add_argument("--saveonly", action="store_true",
+                        help="dump the raw prediction table to a pickle and "
+                             "skip evaluation (train_utils.py:499-502)")
+    parser.add_argument("--fusion", choices=["challenge", "topk"],
+                        default="challenge",
+                        help="how to use test_cfg.ext_score_file: 'challenge' "
+                             "= best-score proposal multiply (eval.py:103-145)"
+                             ", 'topk' = sqrt(topk cls x seg) duplication "
+                             "(postprocessing.py:97-155)")
+    parser.add_argument("--ext-topk", type=int, default=2)
+    parser.add_argument("--ext-num-pred", type=int, default=200)
     parser.add_argument("--output", type=str, default="")
     parser.add_argument("-p", "--print-freq", type=int, default=20)
     main(parser.parse_args())
