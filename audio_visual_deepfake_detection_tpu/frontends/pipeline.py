@@ -80,10 +80,17 @@ class FeatureExtractor:
     def video_features(self, frames: np.ndarray) -> np.ndarray:
         """(T, H, W, 3) uint8 -> (T, 256)."""
         chunks, t = chunk_video(frames.astype(np.float32) / 255.0, self.video_chunk)
+        feats = self.video_chunks_features(chunks)
+        return feats.reshape(-1, feats.shape[-1])[:t]
+
+    def video_chunks_features(self, chunks: np.ndarray) -> np.ndarray:
+        """Pre-chunked (N, chunk, H, W, 3) float [0,1] -> (N, chunk, D);
+        chunks from several videos may be stacked into one call (the
+        reference batches chunks with a bs=10 DataLoader the same way,
+        extract_video_features.py:128-137)."""
         resized = jax.vmap(lambda f: bilinear_resize_video(f, (96, 96)))(
             jnp.asarray(chunks))
-        feats = self._video_fn(self._stream_params("video"), resized)
-        return np.asarray(feats).reshape(-1, feats.shape[-1])[:t]
+        return np.asarray(self._video_fn(self._stream_params("video"), resized))
 
     def byola_features(self, wav: np.ndarray) -> np.ndarray:
         """(L,) 16 kHz -> (~L/1280, 2048) @ 12.5 Hz."""

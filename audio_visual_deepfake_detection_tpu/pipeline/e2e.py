@@ -1,0 +1,265 @@
+"""Raw media -> submission, as ONE pipeline (SURVEY §7 stage 9).
+
+The reference runs this as four disconnected programs communicating through
+.npy farms and manual notebook steps:
+  video_feature/aligned_video/extract_video_features.py:99-167 (mp4 -> 256-d),
+  audio_feature/{content,emotion}_audio extract scripts (wav -> 2048/768-d),
+  inference.py:22-136 (features -> per-shard detection JSON),
+  generate_results.ipynb (merge -> prediction.txt / prediction.json).
+
+Here it is one driver with host-decode / device-compute pipelining:
+
+  decode (cv2 frames + wav, background threads)
+    -> frontends, batched on device (video encoder over stacked chunks of the
+       whole batch, BYOL-A + Emotion2Vec over the padded wav batch)
+    -> row truncation (deepfake_video_audio.py:2077-2078 formulas)
+    -> localizer with the per-stream linear resample fused into the same
+       device program (build_online_inference_fn), soft-NMS + decode on device
+    -> reference-schema result items -> prediction.txt / prediction.json
+    -> challenge mAP (Evaluation/eval.py:147-164) when GT metadata is given.
+
+Only the final (<=100 per video) detections ever leave the device between the
+feature and localization stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import hashlib
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.metadata import (byola_trunc_rows, emotion_trunc_rows,
+                             load_video_meta)
+from ..frontends.pipeline import FeatureExtractor
+from ..infer.decode import TestConfig
+from ..infer.runner import build_online_inference_fn, inference_one_epoch
+from ..models.meta_arch import ArchConfig
+
+
+@dataclasses.dataclass
+class MediaItem:
+    """One video to run. Exactly one of (mp4_path, frames) must be set; wav
+    may come from a file, an array, or (for environments without an AAC
+    decoder — this image has no ffmpeg) a deterministic synthetic signal."""
+
+    video_id: str
+    duration: float
+    mp4_path: Optional[str] = None
+    wav_path: Optional[str] = None
+    frames: Optional[np.ndarray] = None   # (T, H, W, 3) uint8
+    wav: Optional[np.ndarray] = None      # (L,) float32 @ 16 kHz
+
+
+def synth_wav(video_id: str, duration: float, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic per-video pseudo-audio for images without an AAC/ffmpeg
+    decoder: seeded by the video id so runs are reproducible."""
+    seed = int.from_bytes(hashlib.sha1(video_id.encode()).digest()[:4], "little")
+    n = int(round(duration * sample_rate))
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float32) * 0.1
+
+
+def discover_media(metadata_root: str, data_root: Optional[str] = None,
+                   wav_root: Optional[str] = None, limit: Optional[int] = None,
+                   ) -> Tuple[List[MediaItem], List[dict]]:
+    """Walk a tinydataset-layout tree: metadata/<spk>/<clip>/<n>/<type>.json
+    (+ matching data/...mp4). Returns (media items, challenge GT records)."""
+    items, gt_records = [], []
+    rels = sorted(
+        os.path.relpath(p, metadata_root)
+        for p in glob.glob(os.path.join(metadata_root, "**", "*.json"),
+                           recursive=True))
+    if limit:
+        rels = rels[:limit]
+    for rel in rels:
+        meta = load_video_meta(metadata_root, rel)
+        rel_mp4 = rel.replace(".json", ".mp4")
+        mp4 = os.path.join(data_root, rel_mp4) if data_root else None
+        wav = os.path.join(wav_root, rel.replace(".json", ".wav")) \
+            if wav_root else None
+        items.append(MediaItem(
+            video_id=rel_mp4, duration=meta.duration, mp4_path=mp4,
+            wav_path=wav if wav and os.path.exists(wav) else None))
+        gt_records.append({
+            "video_id": rel_mp4,
+            "segments_time": None if meta.segments is None
+            else meta.segments.tolist(),
+            "n_fakes": 0 if meta.segments is None else len(meta.segments),
+        })
+    return items, gt_records
+
+
+class MediaPipeline:
+    """Host-decode / device-compute media pipeline.
+
+    ``caps`` are the static per-stream row caps of the localizer infeed
+    (video, byola, emotion); by default they are sized from the longest
+    duration in the run so every batch shares one jit specialization.
+    """
+
+    def __init__(
+        self,
+        extractor: FeatureExtractor,
+        cfg: ArchConfig,
+        test_cfg: TestConfig,
+        localizer_params,
+        ds_feat_stride: float = 1.0,
+        ds_num_frames: float = 1.0,
+        batch_size: int = 4,
+        prefetch_batches: int = 2,
+        caps: Optional[Sequence[int]] = None,
+        max_fps: float = 31.0,
+        use_audio: bool = True,
+    ):
+        self.extractor = extractor
+        self.cfg = cfg
+        self.localizer_params = localizer_params
+        self.batch_size = batch_size
+        self.prefetch_batches = prefetch_batches
+        self.caps = tuple(caps) if caps is not None else None
+        self.max_fps = max_fps
+        self.use_audio = use_audio
+        self._infer_fn = build_online_inference_fn(
+            cfg, test_cfg, ds_feat_stride, ds_num_frames)
+        self.stats: Dict[str, float] = {}
+
+    # ---------------- host side ----------------
+
+    def _decode(self, item: MediaItem) -> MediaItem:
+        frames, wav = item.frames, item.wav
+        if frames is None:
+            from ..preprocess.video_io import read_video_frames
+
+            frames, _ = read_video_frames(item.mp4_path)
+        if wav is None and self.use_audio:
+            if item.wav_path is not None:
+                from ..preprocess.wav import load_wav
+
+                wav = load_wav(item.wav_path)
+            else:
+                wav = synth_wav(item.video_id, item.duration)
+        return dataclasses.replace(item, frames=frames, wav=wav)
+
+    def _default_caps(self, items: Sequence[MediaItem]) -> Tuple[int, ...]:
+        def up8(n):
+            return int(np.ceil(n / 8)) * 8
+
+        dur = max(it.duration for it in items)
+        return (up8(dur * self.max_fps + 1),
+                up8(byola_trunc_rows(dur) + 2),
+                up8(emotion_trunc_rows(dur) + 2))
+
+    # ---------------- device side ----------------
+
+    def _extract_batch(self, decoded: List[MediaItem]) -> List[dict]:
+        """Three frontends over one batch of videos; returns per-video
+        localizer samples {video_id, streams, duration}."""
+        from ..frontends.video import chunk_video
+
+        # video: stack every video's chunks into one device call (the
+        # reference batches chunks via a bs=10 DataLoader the same way,
+        # extract_video_features.py:128-137)
+        chunk = self.extractor.video_chunk
+        all_chunks, counts, true_t = [], [], []
+        for it in decoded:
+            chunks, t = chunk_video(it.frames.astype(np.float32) / 255.0, chunk)
+            all_chunks.append(chunks)
+            counts.append(chunks.shape[0])
+            true_t.append(t)
+        vfeats = self.extractor.video_chunks_features(
+            np.concatenate(all_chunks, axis=0))
+        video_rows, ofs = [], 0
+        for n, t in zip(counts, true_t):
+            video_rows.append(vfeats[ofs:ofs + n].reshape(-1, vfeats.shape[-1])[:t])
+            ofs += n
+
+        if self.use_audio:
+            wavs = [it.wav for it in decoded]
+            byola = self.extractor.byola_features_batch(wavs)
+            emo = self.extractor.emotion_features_batch(wavs)
+
+        samples = []
+        for i, it in enumerate(decoded):
+            streams = [video_rows[i]]
+            if self.use_audio:
+                # row truncation exactly as the dataset layer applies to the
+                # offline .npy caches (deepfake_video_audio.py:2077-2078)
+                streams.append(byola[i][:byola_trunc_rows(it.duration)])
+                streams.append(emo[i][:emotion_trunc_rows(it.duration)])
+            samples.append({"video_id": it.video_id,
+                            "streams": streams, "duration": it.duration})
+        return samples
+
+    def _collate(self, samples: List[dict], caps: Sequence[int]) -> dict:
+        from ..infer.runner import collate_streams
+
+        streams, rows, duration, video_ids = collate_streams(samples, list(caps))
+        return {"streams": streams, "rows": rows, "duration": duration,
+                "video_ids": video_ids}
+
+    # ---------------- the pipeline ----------------
+
+    def batches(self, items: Sequence[MediaItem]):
+        """Yield collated localizer batches with decode running ahead on
+        background threads (host-decode/device-compute overlap)."""
+        caps = self.caps or self._default_caps(items)
+        groups = [list(items[i:i + self.batch_size])
+                  for i in range(0, len(items), self.batch_size)]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            pending = []
+            gi = 0
+            while gi < len(groups) or pending:
+                while gi < len(groups) and len(pending) <= self.prefetch_batches:
+                    pending.append(pool.map(self._decode, groups[gi]))
+                    gi += 1
+                decoded = list(pending.pop(0))
+                yield self._collate(self._extract_batch(decoded), caps)
+
+    def run(self, items: Sequence[MediaItem], output_folder: Optional[str] = None,
+            print_freq: int = 50):
+        """Full sweep. Returns (flat prediction table, result items)."""
+        start = time.time()
+        results, all_items = inference_one_epoch(
+            self.batches(items), self._infer_fn, self.localizer_params,
+            output_folder=output_folder, print_freq=print_freq)
+        self.stats["wall_s"] = time.time() - start
+        self.stats["videos_per_s"] = len(items) / self.stats["wall_s"]
+        return results, all_items
+
+
+def run_media_pipeline(
+    items: Sequence[MediaItem],
+    pipeline: MediaPipeline,
+    out_dir: str,
+    gt_records: Optional[Sequence[dict]] = None,
+    verbose: bool = True,
+):
+    """items -> submission files (+ mAP when GT is provided).
+
+    Writes ``prediction.txt`` / ``prediction.json`` (generate_results.ipynb
+    cells 1-2 semantics incl. the 0.9 prob clamp, 0.2 score filter and
+    [[0,0,0]] sentinel) and, with GT, ``eval_proposals.json`` + challenge
+    average mAP at tIoU {0.5, 0.75, 0.9, 0.95}.
+    """
+    from ..eval.challenge import run_evaluation
+    from ..infer.results import (write_segment_predictions,
+                                 write_video_predictions)
+
+    os.makedirs(out_dir, exist_ok=True)
+    results, result_items = pipeline.run(items, output_folder=None)
+    write_video_predictions(result_items, os.path.join(out_dir, "prediction.txt"))
+    write_segment_predictions(result_items, os.path.join(out_dir, "prediction.json"))
+
+    summary = {"num_videos": len(items), **pipeline.stats}
+    if gt_records is not None and len(results["video-id"]) > 0:
+        flat = {k: np.asarray(v) for k, v in results.items()}
+        mAP, _ = run_evaluation(
+            flat, gt_records, os.path.join(out_dir, "eval_proposals.json"),
+            verbose=verbose)
+        summary["average_mAP"] = mAP
+    return summary, result_items

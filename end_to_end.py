@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Raw media -> submission + mAP in ONE command.
+
+Replaces the reference's four disconnected programs (three feature
+extractors + inference.py + generate_results.ipynb) with a single
+host-decode / device-compute pipelined driver
+(audio_visual_deepfake_detection_tpu/pipeline/e2e.py).
+
+Example (tinydataset smoke, random weights):
+  python end_to_end.py configs_test/deepfake_exp12_test.yaml \
+      --metadata-root /root/reference/tinydataset/metadata \
+      --data-root /root/reference/tinydataset/data \
+      --output runs/e2e
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
+setup_jax()
+
+from audio_visual_deepfake_detection_tpu.core import (
+    arch_config_from, load_config, test_config_from)
+from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtractor
+from audio_visual_deepfake_detection_tpu.pipeline import (
+    MediaPipeline, discover_media, run_media_pipeline)
+from audio_visual_deepfake_detection_tpu.train import (
+    init_model, latest_epoch_path, restore_params)
+
+
+def main(args):
+    config = load_config(args.config)
+    cfg = arch_config_from(config)
+    test_cfg = test_config_from(config)
+
+    items, gt_records = discover_media(
+        args.metadata_root, args.data_root, args.wav_root or None,
+        limit=args.limit or None)
+    print(f"{len(items)} videos discovered")
+
+    video_model = None
+    if args.video_encoder != "c3d":
+        from audio_visual_deepfake_detection_tpu.frontends import mvit
+        video_model = getattr(mvit, args.video_encoder)(
+            out_dim=256, temporal_size=args.video_chunk)
+    extractor = FeatureExtractor(seed=args.seed, video_model=video_model,
+                                 video_chunk=args.video_chunk)
+
+    if args.ckpt:
+        path = args.ckpt if os.path.isfile(args.ckpt) or \
+            os.path.isdir(os.path.join(args.ckpt, "params")) \
+            else latest_epoch_path(args.ckpt)
+        params = restore_params(path)
+    else:
+        params, _ = init_model(cfg, 2, seed=args.seed)
+
+    ds = config["dataset"]
+    pipeline = MediaPipeline(
+        extractor, cfg, test_cfg, params,
+        ds_feat_stride=float(ds.get("feat_stride", 1)),
+        ds_num_frames=float(ds.get("num_frames", 1)),
+        batch_size=args.batch_size)
+    summary, _ = run_media_pipeline(items, pipeline, args.output,
+                                    gt_records=gt_records)
+    print(json.dumps(summary))
+    with open(os.path.join(args.output, "e2e_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--metadata-root", required=True)
+    parser.add_argument("--data-root", required=True)
+    parser.add_argument("--wav-root", default="",
+                        help="pre-extracted 16 kHz wavs (synthetic audio is "
+                             "substituted when absent — no AAC decoder in "
+                             "this image)")
+    parser.add_argument("--ckpt", default="",
+                        help="orbax checkpoint (dir or epoch folder); random "
+                             "weights when omitted")
+    parser.add_argument("--output", default="runs/e2e")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--video-encoder", default="c3d",
+                        choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"])
+    parser.add_argument("--video-chunk", type=int, default=512)
+    main(parser.parse_args())

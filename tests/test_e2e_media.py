@@ -1,0 +1,146 @@
+"""The ONE raw-media -> submission pipeline (VERDICT r1 missing #1).
+
+Proves the full chain as a single driver: frames+wav -> three frontends
+(batched, device) -> row truncation -> fused resample+localizer+soft-NMS ->
+reference-schema results -> prediction.txt / prediction.json -> challenge
+mAP. Reference chain: extract_video_features.py:99-167 +
+extract_audio_feature_batch.py + inference.py:22-136 + generate_results.ipynb.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audio_visual_deepfake_detection_tpu.frontends.byola import AudioNTT2020
+from audio_visual_deepfake_detection_tpu.frontends.emotion2vec import (
+    Emotion2Vec, Emotion2VecConfig)
+from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtractor
+from audio_visual_deepfake_detection_tpu.frontends.video import C3DVideoEncoder
+from audio_visual_deepfake_detection_tpu.infer.decode import TestConfig
+from audio_visual_deepfake_detection_tpu.models import ArchConfig
+from audio_visual_deepfake_detection_tpu.pipeline import (
+    MediaItem, MediaPipeline, discover_media, run_media_pipeline, synth_wav)
+from audio_visual_deepfake_detection_tpu.train.state import init_model
+
+TINY_ROOT = "/root/reference/tinydataset"
+
+
+def _tiny_extractor():
+    return FeatureExtractor(
+        video_chunk=8,
+        video_model=C3DVideoEncoder(n_features=(4, 6, 8, 8), out_dim=16),
+        byola_model=AudioNTT2020(n_mels=64, d=32),
+        emotion_model=Emotion2Vec(Emotion2VecConfig(
+            embed_dim=32, depth=1, prenet_depth=1, num_heads=2)),
+    )
+
+
+def _tiny_cfg():
+    # input_dim = 16 (video) + 32 (byola) + 32 (emotion)
+    return ArchConfig(
+        variant="av_recovery_norecon", input_dim=80, num_classes=1,
+        max_seq_len=96, embd_dim=32, fpn_dim=32, head_dim=32, n_head=2,
+        arch=(1, 1, 2), mha_win_size=(5, 5, -1),
+        regression_range=((0, 4), (4, 8), (8, 10000)),
+    )
+
+
+def _test_cfg():
+    return TestConfig(
+        pre_nms_thresh=0.001, pre_nms_topk=50, iou_threshold=0.1,
+        min_score=0.001, max_seg_num=20, nms_method="soft", nms_sigma=0.75,
+        duration_thresh=0.001, multiclass_nms=False, voting_thresh=0.9)
+
+
+def _pipeline(batch_size=3):
+    cfg = _tiny_cfg()
+    params, _ = init_model(cfg, 2, seed=0)
+    return MediaPipeline(_tiny_extractor(), cfg, _test_cfg(), params,
+                         batch_size=batch_size), cfg
+
+
+def _synthetic_items(rng, n=5):
+    items, gt = [], []
+    for i in range(n):
+        dur = 2.0 + 0.5 * i
+        t = int(round(25.0 * dur))
+        frames = rng.integers(0, 255, (t, 32, 32, 3), dtype=np.uint8)
+        vid = f"spk/clip/{i:05d}/fake_video_fake_audio.mp4"
+        items.append(MediaItem(
+            video_id=vid, duration=dur, frames=frames,
+            wav=synth_wav(vid, dur)))
+        has_fake = i % 2 == 0
+        gt.append({
+            "video_id": vid,
+            "segments_time": [[0.3, 0.9]] if has_fake else None,
+            "n_fakes": 1 if has_fake else 0,
+        })
+    return items, gt
+
+
+def test_media_pipeline_synthetic(rng, tmp_path):
+    """frames+wav arrays -> submission files + challenge mAP, one call."""
+    items, gt = _synthetic_items(rng, n=5)
+    pipeline, _ = _pipeline(batch_size=2)
+    summary, result_items = run_media_pipeline(
+        items, pipeline, str(tmp_path), gt_records=gt, verbose=False)
+
+    assert summary["num_videos"] == 5
+    assert summary["videos_per_s"] > 0
+    # untrained weights: mAP is whatever it is, but the evaluation must have
+    # run and produced a finite number
+    assert "average_mAP" in summary and np.isfinite(summary["average_mAP"])
+
+    # submission files in the notebook's exact format
+    txt = open(tmp_path / "prediction.txt").read().strip().splitlines()
+    assert len(txt) == 5 and all(";" in line for line in txt)
+    with open(tmp_path / "prediction.json") as f:
+        seg_pred = json.load(f)
+    assert set(seg_pred) == {it.video_id for it in items}
+    for segs in seg_pred.values():
+        arr = np.asarray(segs, np.float64)
+        assert arr.ndim == 2 and arr.shape[1] == 3
+        assert np.isfinite(arr).all()
+
+    # result items preserve input order and the reference item schema
+    assert [r["video_id"] for r in result_items] == [it.video_id for it in items]
+    for r in result_items:
+        assert set(r) == {"video_id", "video_cls", "scores", "segments"}
+        for s, e in r["segments"]:
+            assert 0.0 <= s <= e + 1e-6
+
+
+def test_media_pipeline_order_independent_of_batch(rng, tmp_path):
+    """Pipelining/prefetch must not reorder or alter results: batch_size 2
+    and 5 produce identical detections per video."""
+    items, _ = _synthetic_items(rng, n=5)
+    p_a, _ = _pipeline(batch_size=2)
+    p_b, _ = _pipeline(batch_size=5)
+    _, items_a = p_a.run(items)
+    _, items_b = p_b.run(items)
+    assert [r["video_id"] for r in items_a] == [r["video_id"] for r in items_b]
+    for a, b in zip(items_a, items_b):
+        np.testing.assert_allclose(a["segments"], b["segments"], atol=1e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(TINY_ROOT), reason="tinydataset absent")
+def test_media_pipeline_tinydataset(tmp_path):
+    """Real tinydataset mp4 decode (cv2) through the full pipeline: all 12
+    videos -> submission + mAP vs the real metadata GT."""
+    pytest.importorskip("cv2")
+    items, gt = discover_media(os.path.join(TINY_ROOT, "metadata"),
+                               os.path.join(TINY_ROOT, "data"))
+    assert len(items) == 12
+    assert sum(g["n_fakes"] > 0 for g in gt) > 0  # real fake segments in GT
+
+    pipeline, _ = _pipeline(batch_size=4)
+    summary, result_items = run_media_pipeline(
+        items, pipeline, str(tmp_path), gt_records=gt, verbose=False)
+    assert summary["num_videos"] == 12
+    assert "average_mAP" in summary and np.isfinite(summary["average_mAP"])
+    assert len(result_items) == 12
+    with open(tmp_path / "prediction.json") as f:
+        assert len(json.load(f)) == 12
