@@ -78,6 +78,47 @@ class C3DVideoEncoder(nn.Module):
         return nn.leaky_relu(x, 0.01)
 
 
+def convert_c3d_torch(state_dict, template):
+    """Map the reference C3D encoder weights (video_encoder.py:12-62, already
+    stripped of the ``video_encoder.`` prefix) into our flax tree.
+
+    torch module paths: ``block{0-2}.{0,1}`` are the tensorneko Conv3d
+    wrappers (a ``conv`` child holding the raw nn.Conv3d), ``block3.{0,2}``
+    the two stage-3 convs and ``block3.5`` the 1x1 Conv1d projection. Bare
+    ``block{i}.{j}.weight`` keys (no ``conv`` child) are accepted too.
+    """
+    from flax import traverse_util
+
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+    name_map = {
+        "b0c0": "block0.0", "b0c1": "block0.1",
+        "b1c0": "block1.0", "b1c1": "block1.1",
+        "b2c0": "block2.0", "b2c1": "block2.1",
+        "b3c0": "block3.0", "b3c1": "block3.2", "proj": "block3.5",
+    }
+
+    def get(ref, leaf):
+        for key in (f"{ref}.conv.{leaf}", f"{ref}.{leaf}"):
+            if key in sd:
+                return sd[key]
+        raise KeyError(f"{ref}.(conv.){leaf}")
+
+    out = {}
+    for path, tmpl in traverse_util.flatten_dict(template).items():
+        core = path[1:] if path[0] == "params" else path
+        leaf = "weight" if core[-1] == "kernel" else "bias"
+        w = get(name_map[core[0]], leaf)
+        if core[-1] == "kernel":
+            if core[0] == "proj":       # Conv1d (out, in, 1) -> Dense (in, out)
+                w = np.transpose(w[:, :, 0])
+            else:                        # (out, in, kt, kh, kw) -> (kt,kh,kw,in,out)
+                w = np.transpose(w, (2, 3, 4, 1, 0))
+        assert w.shape == tuple(tmpl.shape), (path, w.shape, tmpl.shape)
+        out[path] = w
+    return traverse_util.unflatten_dict(out)
+
+
 def bilinear_resize_video(frames: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """(T, H, W, C) -> (T, h, w, C) bilinear resize (resize_video parity:
     F.interpolate bilinear, align_corners=False)."""
