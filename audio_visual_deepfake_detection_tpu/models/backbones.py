@@ -13,6 +13,7 @@ pyramid (T, T/2, ..., T/32).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -24,7 +25,7 @@ from ..ops.norm import ChannelLayerNorm
 from ..ops.pe import sinusoid_encoding
 from ..ops.resample import linear_resample_time, nearest_resample_time
 from ..ops.pallas import fused_block as _fused
-from .blocks import TransformerBlock
+from .blocks import TransformerBlock, fused_train_eligible
 
 
 class ConvBlock(nn.Module):
@@ -168,15 +169,17 @@ class HRLRBackbone(nn.Module):
         # Blocks the fused-kernel train path covers already save only their
         # inputs (its custom_vjp backward recomputes via the jnp mirror), so
         # wrapping them in nn.remat would just re-run the pallas forward in
-        # the backward — skip remat for those.
-        fused_train = (_fused.ENABLED and _fused.TRAIN_ENABLED and train
-                       and self.attn_pdrop == 0.0 and self.proj_pdrop == 0.0
-                       and not self.use_rel_pe and not self.use_time_weight)
-
-        def pick_block(window_size, even_t=True):
-            if (self.remat and train
-                    and not (fused_train and window_size > 1 and even_t)):
+        # the backward — skip remat for those. Eligibility is the shared
+        # predicate from blocks.py; expect_fused makes the block raise if the
+        # dynamic dispatch half ever fails (so remat is never lost silently).
+        def pick_block(window_size, ds_stride=1, even_t=True):
+            eligible = train and fused_train_eligible(
+                window_size, ds_stride, even_t, self.attn_pdrop,
+                self.proj_pdrop, self.use_rel_pe, self.use_time_weight)
+            if self.remat and train and not eligible:
                 return nn.remat(TransformerBlock)
+            if eligible and self.remat:
+                return functools.partial(TransformerBlock, expect_fused=True)
             return TransformerBlock
 
         Block = pick_block(self.mha_win_size[0])
@@ -194,8 +197,8 @@ class HRLRBackbone(nn.Module):
         full_t = x.shape[1]
         for i in range(self.arch[2]):
             DsBlock = pick_block(self.mha_win_size[1 + i],
-                                 even_t=x.shape[1] % self.scale_factor == 0
-                                 and self.scale_factor == 2)
+                                 ds_stride=self.scale_factor,
+                                 even_t=x.shape[1] % self.scale_factor == 0)
             x, mask = DsBlock(ds_stride=self.scale_factor,
                               window_size=self.mha_win_size[1 + i],
                               name=f"branch_{i}", **block_kw)(x, mask)

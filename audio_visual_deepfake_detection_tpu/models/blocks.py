@@ -165,6 +165,24 @@ class ConvAttention(nn.Module):
         return out, qx_mask
 
 
+def fused_train_eligible(window_size: int, ds_stride: int = 1,
+                         even_t: bool = True, attn_pdrop: float = 0.0,
+                         proj_pdrop: float = 0.0, use_rel_pe: bool = False,
+                         use_time_weight: bool = False) -> bool:
+    """Static half of the fused-kernel TRAIN dispatch predicate — the single
+    source of truth shared by TransformerBlock's dispatch below and the
+    backbone's remat selection (backbones.py::pick_block). The dynamic half
+    (k/v/mask tensor identity, pos_embd is None) can only be checked at call
+    time; a caller that relied on this predicate (e.g. to skip nn.remat) sets
+    ``expect_fused=True`` and the block raises if the dynamic half fails."""
+    return (_fused.ENABLED and _fused.TRAIN_ENABLED
+            and window_size > 1
+            and ds_stride in (1, 2)
+            and (ds_stride == 1 or even_t)
+            and attn_pdrop == 0.0 and proj_pdrop == 0.0
+            and not use_rel_pe and not use_time_weight)
+
+
 class TransformerBlock(nn.Module):
     """Pre-LN transformer block with optional 2x downsampling
     (reference TransformerBlock, blocks.py:1227-1317; the cross-modal
@@ -181,6 +199,9 @@ class TransformerBlock(nn.Module):
     use_time_weight: bool = False
     cross: bool = False
     deterministic: bool = True
+    # caller skipped nn.remat expecting the fused train path; raise loudly if
+    # the dynamic dispatch conditions fail instead of silently losing remat
+    expect_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -220,6 +241,13 @@ class TransformerBlock(nn.Module):
                 fused_mode, xo = "qv_k", x_k
             elif x_k is x_v and mask_k is mask and mask_v is mask:
                 fused_mode, xo = "kv", x_k
+        if (self.expect_fused and fused_mode is None
+                and not deterministic and not self.is_initializing()):
+            raise AssertionError(
+                "TransformerBlock was constructed with expect_fused=True "
+                "(caller skipped nn.remat for it) but the fused train "
+                "dispatch conditions were not met at call time — check "
+                "k/v/mask tensor identity and pos_embd")
         if fused_mode is not None:
             packed = _fused.pack_block_params(
                 self.variables["params"], c, self.cross, x.dtype)
