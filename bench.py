@@ -74,16 +74,16 @@ def measure_ours() -> float:
 
     for _ in range(WARMUP):
         run()
-    # best-of-blocks: the tunnel occasionally stalls a dispatch for tens of
-    # ms; the fastest contiguous block reflects sustainable device throughput
-    best = 0.0
+    # median-of-blocks: robust to occasional multi-10ms tunnel stalls without
+    # absorbing ordinary run-to-run variance the way best-of-blocks would
+    rates = []
     for _ in range(3):
         start = time.perf_counter()
         for _ in range(ITERS):
             run()
         elapsed = time.perf_counter() - start
-        best = max(best, BATCH * ITERS / elapsed)
-    return best
+        rates.append(BATCH * ITERS / elapsed)
+    return sorted(rates)[len(rates) // 2]
 
 
 def measure_reference_cpu() -> float:

@@ -24,6 +24,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 import pytest
 
+# Slow tier: torch-oracle goldens, subprocess CLI drives, end-to-end sweeps,
+# and the heavy train-step compiles. The fast parity core (`-m "not slow"`)
+# is the cheap regression gate; run the full suite before committing
+# kernel/meta-arch changes.
+SLOW_MODULES = {
+    "test_cli",
+    "test_convergence",
+    "test_e2e",
+    "test_e2e_media",
+    "test_emotion2vec_block",
+    "test_emotion2vec_full",
+    "test_frontends",
+    "test_fused_block",
+    "test_multihost",
+    "test_mvit_golden",
+    "test_online_inference",
+    "test_online_train",
+    "test_parity_e2e",
+    "test_service",
+    "test_train",
+    "test_varlen_eval",
+    "test_video_frontend",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
