@@ -176,7 +176,7 @@ def fused_train_eligible(window_size: int, ds_stride: int = 1,
     time; a caller that relied on this predicate (e.g. to skip nn.remat) sets
     ``expect_fused=True`` and the block raises if the dynamic half fails."""
     return (_fused.ENABLED and _fused.TRAIN_ENABLED
-            and window_size > 1
+            and (window_size > 1 or window_size == -1)
             and ds_stride in (1, 2)
             and (ds_stride == 1 or even_t)
             and attn_pdrop == 0.0 and proj_pdrop == 0.0
@@ -228,7 +228,7 @@ class TransformerBlock(nn.Module):
                     and self.attn_pdrop == 0.0 and self.proj_pdrop == 0.0)
         fused_mode = xo = None
         if (_fused.ENABLED and (deterministic or train_ok)
-                and self.window_size > 1
+                and (self.window_size > 1 or self.window_size == -1)
                 and self.ds_stride in (1, 2) and not self.use_rel_pe
                 and not self.use_time_weight and pos_embd is None
                 and not self.is_initializing()):

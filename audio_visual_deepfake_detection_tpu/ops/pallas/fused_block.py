@@ -159,9 +159,9 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         y = _shift_rows(xf, -1) * w0 + xf * w1 + _shift_rows(xf, 1) * w2
         return y * mvalid
 
-    def kernel(x_ref, xo_ref, m_ref, coef_ref, vecs_ref, wq_ref, wk_ref,
-               wv_ref, wp_ref, wf1_ref, wf2_ref, fc1b_ref, red_ref, exp_ref,
-               out_ref):
+    def kernel(x_ref, xo_ref, m_ref, mT_ref, coef_ref, vecs_ref, wq_ref,
+               wk_ref, wv_ref, wp_ref, wf1_ref, wf2_ref, fc1b_ref, red_ref,
+               exp_ref, out_ref):
         x = x_ref[0]                       # (T, C) cdtype
         vecs = vecs_ref[...]               # (NV, C) f32
         mvalid = m_ref[0].astype(jnp.float32)  # (T, 1)
@@ -228,34 +228,57 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         q = q * cdtype.type(1.0 / np.sqrt(d_head))
         mvalid_c = mvalid.astype(cdtype)
 
-        # --- banded attention: per-offset head-reduced scores ---
         red = red_ref[...]                 # (C, 128) one-hot, cdtype
         exp_m = exp_ref[...]               # (128, C) one-hot, cdtype
         row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-        # scores in the compute dtype like ops/attention.py::band_attention
-        # (bf16 score + bf16 -1e4 penalty), softmax in f32
-        pen_c = pen.astype(cdtype)
-        scores = []
-        for d in range(-w, w + 1):
-            e = q * _shift_rows(k, d)
-            s = cdot(e, red) + _shift_rows(pen_c, d)
-            ok = (row + d >= 0) & (row + d < t)
-            scores.append(jnp.where(ok, s.astype(jnp.float32), NEG_INF))
-        m = scores[0]
-        for s in scores[1:]:
-            m = jnp.maximum(m, s)
-        exps = [jnp.exp(s - m) for s in scores]
-        den = exps[0]
-        for e in exps[1:]:
-            den = den + e
-        inv = 1.0 / den
-        ctx = jnp.zeros((t, c), cdtype)
-        for i, d in enumerate(range(-w, w + 1)):
-            p = ((exps[i] * inv).astype(cdtype))
-            pb = cdot(p, exp_m)
-            ctx = ctx + pb * _shift_rows(v, d)
-        # NaN guard: zero invalid query rows (blocks.py:766-767)
-        ctx = ctx * mvalid_c
+        if w <= 0:
+            # --- dense attention (window_size -1): per-head (T, T) scores
+            # via head-masked NT contractions (ops/attention.py::
+            # full_attention semantics: -1e30 fill on invalid keys — no
+            # -1e4 penalty in the dense path — f32 softmax, masked values)
+            colok = mT_ref[0] > 0.5        # (1, T) key validity
+            vm = v * mvalid_c
+            ctx = jnp.zeros((t, c), cdtype)
+            for h in range(n_head):
+                hm = exp_m[h][None, :]     # (1, C) one-hot over head h lanes
+                s = jax.lax.dot_general(
+                    q * hm, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdtype)
+                sf = jnp.where(colok, s, cdtype.type(NEG_INF)
+                               ).astype(jnp.float32)
+                mx = jnp.max(sf, axis=-1, keepdims=True)
+                e = jnp.exp(sf - mx)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+                ctx = ctx + jax.lax.dot_general(
+                    p, vm * hm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdtype)
+            ctx = ctx * mvalid_c
+        else:
+            # --- banded attention: per-offset head-reduced scores ---
+            # scores in the compute dtype like ops/attention.py::
+            # band_attention (bf16 score + bf16 -1e4 penalty), softmax in f32
+            pen_c = pen.astype(cdtype)
+            scores = []
+            for d in range(-w, w + 1):
+                e = q * _shift_rows(k, d)
+                s = cdot(e, red) + _shift_rows(pen_c, d)
+                ok = (row + d >= 0) & (row + d < t)
+                scores.append(jnp.where(ok, s.astype(jnp.float32), NEG_INF))
+            m = scores[0]
+            for s in scores[1:]:
+                m = jnp.maximum(m, s)
+            exps = [jnp.exp(s - m) for s in scores]
+            den = exps[0]
+            for e in exps[1:]:
+                den = den + e
+            inv = 1.0 / den
+            ctx = jnp.zeros((t, c), cdtype)
+            for i, d in enumerate(range(-w, w + 1)):
+                p = ((exps[i] * inv).astype(cdtype))
+                pb = cdot(p, exp_m)
+                ctx = ctx + pb * _shift_rows(v, d)
+            # NaN guard: zero invalid query rows (blocks.py:766-767)
+            ctx = ctx * mvalid_c
 
         # --- proj + residual (layer-scale) --- compute dtype throughout,
         # like the standard path (blocks.py residual adds run in bf16)
@@ -308,6 +331,7 @@ def fused_transformer_block(
     red = jnp.asarray(red_np, cdtype)
     exp_m = jnp.asarray(exp_np, cdtype)
     mrow = mask.astype(jnp.float32)[..., None]      # (B, T, 1)
+    mrowT = mask.astype(jnp.float32)[:, None, :]    # (B, 1, T) for dense
     if xo is None:
         xo = x[:, :1, :1]                           # 1-element dummy
     if coefs is None:
@@ -326,6 +350,7 @@ def fused_transformer_block(
             xspec,
             xospec,
             pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             wspec((NUM_VEC_ROWS, c)),
             wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
@@ -340,7 +365,8 @@ def fused_transformer_block(
         # limit (v5e has 128 MB of physical VMEM per core)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b, red, exp_m)
+    )(x, xo, mrow, mrowT, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b, red,
+      exp_m)
 
 
 def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
@@ -423,27 +449,45 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
     mvalid_c = mvalid.astype(cdtype)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    pen_c = pen.astype(cdtype)
-    scores = []
-    for d in range(-w, w + 1):
-        e = q * _shift_rows(k, d)
-        s = cdot(e, red) + _shift_rows(pen_c, d)
-        ok = (row + d >= 0) & (row + d < t)
-        scores.append(jnp.where(ok[None], s.astype(jnp.float32), NEG_INF))
-    m = scores[0]
-    for s in scores[1:]:
-        m = jnp.maximum(m, s)
-    exps = [jnp.exp(s - m) for s in scores]
-    den = exps[0]
-    for e in exps[1:]:
-        den = den + e
-    inv = 1.0 / den
-    ctx = jnp.zeros((b, t, c), cdtype)
-    for i, d in enumerate(range(-w, w + 1)):
-        p = (exps[i] * inv).astype(cdtype)
-        pb = cdot(p, exp_m)
-        ctx = ctx + pb * _shift_rows(v, d)
-    ctx = ctx * mvalid_c
+    if w <= 0:
+        # dense attention (window_size -1), kernel-identical math
+        colok = mvalid[..., 0][:, None, :] > 0.5        # (B, 1, T)
+        vm = v * mvalid_c
+        ctx = jnp.zeros((b, t, c), cdtype)
+        for h in range(n_head):
+            hm = exp_m[h][None, None, :]
+            s = jnp.einsum("btc,bsc->bts", q * hm, k,
+                           preferred_element_type=jnp.float32).astype(cdtype)
+            sf = jnp.where(colok, s, cdtype.type(NEG_INF)).astype(jnp.float32)
+            mx = jnp.max(sf, axis=-1, keepdims=True)
+            e = jnp.exp(sf - mx)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+            ctx = ctx + jnp.einsum(
+                "bts,bsc->btc", p, vm * hm,
+                preferred_element_type=jnp.float32).astype(cdtype)
+        ctx = ctx * mvalid_c
+    else:
+        pen_c = pen.astype(cdtype)
+        scores = []
+        for d in range(-w, w + 1):
+            e = q * _shift_rows(k, d)
+            s = cdot(e, red) + _shift_rows(pen_c, d)
+            ok = (row + d >= 0) & (row + d < t)
+            scores.append(jnp.where(ok[None], s.astype(jnp.float32), NEG_INF))
+        m = scores[0]
+        for s in scores[1:]:
+            m = jnp.maximum(m, s)
+        exps = [jnp.exp(s - m) for s in scores]
+        den = exps[0]
+        for e in exps[1:]:
+            den = den + e
+        inv = 1.0 / den
+        ctx = jnp.zeros((b, t, c), cdtype)
+        for i, d in enumerate(range(-w, w + 1)):
+            p = (exps[i] * inv).astype(cdtype)
+            pb = cdot(p, exp_m)
+            ctx = ctx + pb * _shift_rows(v, d)
+        ctx = ctx * mvalid_c
 
     att = cdot(ctx, wp) + vecs[ROW_P_BIAS].astype(cdtype)
     att = att * mvalid_c

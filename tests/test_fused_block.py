@@ -262,3 +262,74 @@ def test_train_dispatch_droppath_behavior(rng, monkeypatch):
     for b_i in range(B):
         dists = [np.abs(c[b_i] - y_np[b_i]).max() for c in candidates]
         assert min(dists) < 2e-5, f"sample {b_i}: {dists}"
+
+
+# ---------------------------------------------------------------- dense mode
+
+@pytest.mark.parametrize("mode", ["self", "kv", "ds_self"])
+@pytest.mark.parametrize("partial", [False, True])
+def test_fused_dense_block_matches_standard(rng, mode, partial):
+    """window_size=-1 (full attention — the coarsest pyramid level in the
+    production configs): kernel vs the standard ops/attention.full_attention
+    path, self / cross / stride-2 variants."""
+    cross = mode == "kv"
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=-1,
+                             ds_stride=2 if mode == "ds_self" else 1,
+                             cross=cross, path_pdrop=0.1, deterministic=True)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    xo = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mask = _mask(partial)
+    mf = mask.astype(jnp.float32)[..., None]
+    x, xo = x * mf, xo * mf
+    kw = {} if not cross else dict(x_k=xo, mask_k=mask, x_v=xo, mask_v=mask)
+    params = block.init(jax.random.PRNGKey(0), x, mask, **kw)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    params = {"params": p}
+    ref, ref_mask = block.apply(params, x, mask, **kw)
+
+    packed = fused_block.pack_block_params(p, C, cross, x.dtype)
+    if mode == "ds_self":
+        args = (x[:, 0::2], x[:, 1::2], mask[:, 0::2])
+    else:
+        args = (x, xo if cross else None, mask)
+    got = fused_block.fused_transformer_block(
+        *args, *packed, n_head=H, w_overlap=-1, mode=mode, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["self", "ds_self"])
+def test_dense_block_math_matches_kernel(rng, mode):
+    """block_math dense branch (the custom_vjp recompute path) == the kernel
+    under random droppath coefs + partial mask."""
+    mask = _mask(True)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mf = mask.astype(jnp.float32)[..., None]
+    x = x * mf
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=-1,
+                             ds_stride=2 if mode == "ds_self" else 1,
+                             deterministic=True)
+    params = block.init(jax.random.PRNGKey(0), x, mask)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    packed = fused_block.pack_block_params(p, C, False, x.dtype)
+    coefs = jnp.asarray(rng.choice([0.0, 1.0, 2.0], (B, 2)), jnp.float32)
+
+    if mode == "ds_self":
+        args = (x[:, 0::2], x[:, 1::2], mask[:, 0::2])
+    else:
+        args = (x, None, mask)
+    got = fused_block.fused_transformer_block(
+        *args, *packed, n_head=H, w_overlap=-1, mode=mode,
+        interpret=True, coefs=coefs)
+    x_in, xo_in, m_in = args
+    if xo_in is None:
+        xo_in = x_in[:, :1, :1]
+    ref = fused_block.block_math(
+        x_in, xo_in, m_in.astype(jnp.float32)[..., None], coefs, *packed,
+        n_head=H, w_overlap=-1, mode=mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
