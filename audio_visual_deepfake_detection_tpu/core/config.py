@@ -119,6 +119,7 @@ def default_config() -> Dict[str, Any]:
             "dp_size": -1,
             "compute_dtype": "float32",   # float32 | bfloat16
             "remat": False,               # backbone activation checkpointing
+            "remat_policy": "",           # "" | dots | dots_no_batch
             "prefetch": 2,
         },
     }
@@ -212,6 +213,7 @@ def arch_config_from(config: Dict) -> "ArchConfig":
         head_empty_cls=tuple(tc["head_empty_cls"]),
         compute_dtype=config.get("tpu", {}).get("compute_dtype", "float32"),
         remat=config.get("tpu", {}).get("remat", False),
+        remat_policy=config.get("tpu", {}).get("remat_policy", ""),
     )
 
 

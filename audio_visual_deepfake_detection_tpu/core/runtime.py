@@ -44,6 +44,17 @@ def setup_jax(cache_dir: str | None = None) -> None:
 
     cache = cache_dir or os.environ.get(
         "AVDD_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".avdd_jax_cache"))
+    # scope CPU-backend runs to a per-machine subdir: XLA:CPU AOT executables
+    # encode the build host's CPU features, and loading them on a different
+    # host spews machine-feature warnings (and risks SIGILL) — seen when a
+    # cache written by one runner is reused by another. TPU entries stay in
+    # the base dir (device-keyed already; keeps the warm cache warm).
+    if (os.environ.get("AVDD_FORCE_CPU") == "1"
+            or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+        import platform
+
+        cache = os.path.join(cache,
+                             f"cpu-{platform.machine()}-{os.uname().release}")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

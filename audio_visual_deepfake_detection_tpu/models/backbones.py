@@ -28,6 +28,17 @@ from ..ops.pallas import fused_block as _fused
 from .blocks import TransformerBlock, fused_train_eligible
 
 
+def _remat_policy(name: str):
+    """Named jax.checkpoint policies for the remat'd blocks (None = save
+    nothing, i.e. classic full rematerialization)."""
+    if not name:
+        return None
+    return {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[name]
+
+
 class ConvBlock(nn.Module):
     """ResNet-style masked basic block (blocks.py:1320-1370)."""
 
@@ -124,6 +135,10 @@ class HRLRBackbone(nn.Module):
     use_rel_pe: bool = False
     use_time_weight: bool = False
     remat: bool = False
+    # jax.checkpoint policy for remat'd blocks: "" = save nothing (full
+    # recompute), "dots" = dots_saveable, "dots_no_batch" =
+    # dots_with_no_batch_dims_saveable — memory for backward-recompute FLOPs
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, x, norm_x, reco_x, mask, train: bool = False,
@@ -177,7 +192,8 @@ class HRLRBackbone(nn.Module):
                 window_size, ds_stride, even_t, self.attn_pdrop,
                 self.proj_pdrop, self.use_rel_pe, self.use_time_weight)
             if self.remat and train and not eligible:
-                return nn.remat(TransformerBlock)
+                return nn.remat(TransformerBlock,
+                                policy=_remat_policy(self.remat_policy))
             if eligible and self.remat:
                 return functools.partial(TransformerBlock, expect_fused=True)
             return TransformerBlock

@@ -74,6 +74,8 @@ class ArchConfig:
     compute_dtype: str = "float32"
     # rematerialize backbone blocks in the backward pass (memory for FLOPs)
     remat: bool = False
+    # jax.checkpoint policy name for remat'd blocks (backbones._remat_policy)
+    remat_policy: str = ""
 
     @property
     def fpn_strides(self) -> Tuple[int, ...]:
@@ -129,7 +131,7 @@ class AVLocalizer(nn.Module):
             use_abs_pe=cfg.use_abs_pe, use_rel_pe=cfg.use_rel_pe,
             use_time_weight=cfg.use_time_weight,
         )
-        hrlr_kw = dict(remat=cfg.remat)
+        hrlr_kw = dict(remat=cfg.remat, remat_policy=cfg.remat_policy)
 
         if cfg.variant in ("av_recovery_norecon", "av_recovery"):
             norm_x, reco, cls_scores = DeepInterpolator(
