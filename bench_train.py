@@ -40,8 +40,8 @@ DIM = 3072
 ONLINE = os.environ.get("AVDD_ONLINE", "0") == "1"
 CAPS = (960, 400, 1520)
 STREAM_DIMS = (256, 2048, 768)
-WARMUP = 2
-ITERS = 5
+WARMUP = int(os.environ.get("AVDD_BENCH_WARMUP", "2"))
+ITERS = int(os.environ.get("AVDD_BENCH_ITERS", "5"))
 
 
 def make_batch(rng, dtype):
