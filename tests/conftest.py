@@ -36,6 +36,7 @@ SLOW_MODULES = {
     "test_emotion2vec_block",
     "test_emotion2vec_full",
     "test_frontends",
+    "test_frontends_external",
     "test_fused_block",
     "test_multihost",
     "test_mvit_golden",
