@@ -84,13 +84,21 @@ class FeatureExtractor:
         return feats.reshape(-1, feats.shape[-1])[:t]
 
     def video_chunks_features(self, chunks: np.ndarray) -> np.ndarray:
-        """Pre-chunked (N, chunk, H, W, 3) float [0,1] -> (N, chunk, D);
-        chunks from several videos may be stacked into one call (the
-        reference batches chunks with a bs=10 DataLoader the same way,
-        extract_video_features.py:128-137)."""
-        resized = jax.vmap(lambda f: bilinear_resize_video(f, (96, 96)))(
-            jnp.asarray(chunks))
-        return np.asarray(self._video_fn(self._stream_params("video"), resized))
+        """Pre-chunked (N, chunk, H, W, 3) float [0,1] OR uint8 ->
+        (N, chunk, D); chunks from several videos may be stacked into one
+        call (the reference batches chunks with a bs=10 DataLoader the same
+        way, extract_video_features.py:128-137).
+
+        uint8 chunks are shipped as-is and normalized on device (4x less
+        host->device transfer); chunks already at the 96x96 encoder input
+        size skip the device resize entirely (the host-resize decode path of
+        pipeline/e2e.py)."""
+        x = jnp.asarray(chunks)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * np.float32(1.0 / 255.0)
+        if x.shape[2:4] != (96, 96):
+            x = jax.vmap(lambda f: bilinear_resize_video(f, (96, 96)))(x)
+        return np.asarray(self._video_fn(self._stream_params("video"), x))
 
     def byola_features(self, wav: np.ndarray) -> np.ndarray:
         """(L,) 16 kHz -> (~L/1280, 2048) @ 12.5 Hz."""

@@ -115,6 +115,7 @@ class MediaPipeline:
         caps: Optional[Sequence[int]] = None,
         max_fps: float = 31.0,
         use_audio: bool = True,
+        host_resize: Optional[Tuple[int, int]] = (96, 96),
     ):
         self.extractor = extractor
         self.cfg = cfg
@@ -124,6 +125,7 @@ class MediaPipeline:
         self.caps = tuple(caps) if caps is not None else None
         self.max_fps = max_fps
         self.use_audio = use_audio
+        self.host_resize = host_resize
         self._infer_fn = build_online_inference_fn(
             cfg, test_cfg, ds_feat_stride, ds_num_frames)
         self.stats: Dict[str, float] = {}
@@ -136,6 +138,18 @@ class MediaPipeline:
             from ..preprocess.video_io import read_video_frames
 
             frames, _ = read_video_frames(item.mp4_path)
+            if self.host_resize:
+                # resize to the encoder input size on the host and ship
+                # uint8: ~20x less host->device transfer than full-res f32
+                # (decisive behind slow infeed links; harmless elsewhere).
+                # cv2 INTER_LINEAR on uint8 matches the float bilinear
+                # within 1/255 per channel.
+                import cv2
+
+                h, w = self.host_resize
+                frames = np.stack([
+                    cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
+                    for f in frames])
         if wav is None and self.use_audio:
             if item.wav_path is not None:
                 from ..preprocess.wav import load_wav
@@ -167,7 +181,10 @@ class MediaPipeline:
         chunk = self.extractor.video_chunk
         all_chunks, counts, true_t = [], [], []
         for it in decoded:
-            chunks, t = chunk_video(it.frames.astype(np.float32) / 255.0, chunk)
+            # uint8 frames ship as-is; the extractor normalizes on device
+            frames = it.frames if it.frames.dtype == np.uint8 \
+                else it.frames.astype(np.float32) / 255.0
+            chunks, t = chunk_video(frames, chunk)
             all_chunks.append(chunks)
             counts.append(chunks.shape[0])
             true_t.append(t)
