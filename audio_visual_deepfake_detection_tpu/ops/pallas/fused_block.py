@@ -37,12 +37,25 @@ XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Banded attention via band-masked dense NT contractions instead of the
+# per-offset shift formulation: (2w+1) x (2 one-hot matmuls + 2 shifts +
+# elementwise) becomes 2 x n_head MXU contractions with a (T, T) band mask.
+# Identical semantics (in-band -1e4 kv penalty, -1e30 outside, f32 softmax,
+# bf16 value dot). MEASURED SLOWER at production shape — 1890 vs 2250
+# videos/s (B=512 bf16): the T/(2w+1) = 40x score-FLOP inflation plus the
+# f32 exp over (T, T) instead of (T, 2w+1) outweighs the small-matmul glue
+# it removes. Kept as an opt-in for short-T / wide-window geometries where
+# the trade reverses. Read once at import (participates in jit-cached
+# kernels — restart to flip).
+BAND_VIA_DENSE = os.environ.get("AVDD_BAND_DENSE", "0") == "1"
 
 NEG_PENALTY = -1e4   # finite masked-kv penalty (reference blocks.py:753)
 NEG_INF = -1e30      # band/sequence edge: effectively -inf, NaN-safe
@@ -251,6 +264,28 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
                 p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
                 ctx = ctx + jax.lax.dot_general(
                     p, vm * hm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdtype)
+            ctx = ctx * mvalid_c
+        elif BAND_VIA_DENSE:
+            # --- banded attention as band-masked dense contractions ---
+            penT_c = ((mT_ref[0] - 1.0) * (-NEG_PENALTY)).astype(cdtype)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            colj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            inband = jnp.abs(colj - rowi) <= w
+            ctx = jnp.zeros((t, c), cdtype)
+            for h in range(n_head):
+                hm = exp_m[h][None, :]
+                s = jax.lax.dot_general(
+                    q * hm, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdtype)
+                sf = jnp.where(inband, (s + penT_c).astype(jnp.float32),
+                               NEG_INF)
+                mx = jnp.max(sf, axis=-1, keepdims=True)
+                e = jnp.exp(sf - mx)
+                p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                     ).astype(cdtype)
+                ctx = ctx + jax.lax.dot_general(
+                    p, v * hm, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(cdtype)
             ctx = ctx * mvalid_c
         else:
@@ -464,6 +499,25 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
             ctx = ctx + jnp.einsum(
                 "bts,bsc->btc", p, vm * hm,
+                preferred_element_type=jnp.float32).astype(cdtype)
+        ctx = ctx * mvalid_c
+    elif BAND_VIA_DENSE:
+        penT_c = ((jnp.swapaxes(mvalid, -1, -2) - 1.0)
+                  * (-NEG_PENALTY)).astype(cdtype)      # (B, 1, T)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        colj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        inband = (jnp.abs(colj - rowi) <= w)[None]
+        ctx = jnp.zeros((b, t, c), cdtype)
+        for h in range(n_head):
+            hm = exp_m[h][None, None, :]
+            s = jnp.einsum("btc,bsc->bts", q * hm, k,
+                           preferred_element_type=jnp.float32).astype(cdtype)
+            sf = jnp.where(inband, (s + penT_c).astype(jnp.float32), NEG_INF)
+            mx = jnp.max(sf, axis=-1, keepdims=True)
+            e = jnp.exp(sf - mx)
+            p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(cdtype)
+            ctx = ctx + jnp.einsum(
+                "bts,bsc->btc", p, v * hm,
                 preferred_element_type=jnp.float32).astype(cdtype)
         ctx = ctx * mvalid_c
     else:
