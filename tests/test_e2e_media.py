@@ -144,3 +144,89 @@ def test_media_pipeline_tinydataset(tmp_path):
     assert len(result_items) == 12
     with open(tmp_path / "prediction.json") as f:
         assert len(json.load(f)) == 12
+
+
+def test_e2e_learns_on_real_media(tmp_path):
+    """The full LOOP on real media: decode tinydataset mp4s -> our frontends
+    -> train the localizer to overfit -> the same raw-media pipeline scores a
+    high challenge mAP with the trained weights (and ~0 untrained). This is
+    the reference's whole lifecycle (feature extraction -> train.py ->
+    inference.py -> evaluation) as one in-process chain."""
+    import jax
+
+    from audio_visual_deepfake_detection_tpu.data.dataset import (
+        resample_concat_np)
+    from audio_visual_deepfake_detection_tpu.train import make_optimizer
+    from audio_visual_deepfake_detection_tpu.train.state import (
+        TrainState, build_train_step)
+
+    if not os.path.isdir(TINY_ROOT):
+        pytest.skip("tinydataset unavailable")
+
+    items, gt_records = discover_media(
+        os.path.join(TINY_ROOT, "metadata"), os.path.join(TINY_ROOT, "data"))
+    cfg = _tiny_cfg()
+    params0, rng = init_model(cfg, 2, seed=0)
+    extractor = _tiny_extractor()
+    pipe = MediaPipeline(extractor, cfg, _test_cfg(), params0, batch_size=4)
+
+    # decode once, reuse for training features and for the eval sweep
+    decoded = [pipe._decode(it) for it in items]
+    samples = []
+    for i in range(0, len(decoded), 4):
+        samples += pipe._extract_batch(decoded[i:i + 4])
+
+    # training batch: eval-identical features resampled to the model grid,
+    # GT mapped seconds -> grid with the dataset's force_upsampling scaling
+    # (seg * fps / feat_stride == seg * max_seq_len / duration)
+    T = cfg.max_seq_len
+    max_gt = 4
+    feats = np.stack([resample_concat_np(
+        [np.asarray(st, np.float32) for st in s["streams"]], T)
+        for s in samples])
+    gt_segments = np.zeros((len(samples), max_gt, 2), np.float32)
+    gt_valid = np.zeros((len(samples), max_gt), bool)
+    has_gt = np.zeros((len(samples),), bool)
+    for i, (s, rec) in enumerate(zip(samples, gt_records)):
+        assert s["video_id"] == rec["video_id"]
+        segs = rec["segments_time"]
+        if segs:
+            arr = np.asarray(segs, np.float32) * T / s["duration"]
+            gt_segments[i, :len(arr)] = arr[:max_gt]
+            gt_valid[i, :len(arr)] = True
+            has_gt[i] = True
+    batch = {
+        "feats": feats, "mask": np.ones((len(samples), T), bool),
+        "gt_segments": gt_segments,
+        "gt_labels": np.zeros((len(samples), max_gt), np.int32),
+        "gt_valid": gt_valid, "has_gt": has_gt,
+    }
+    batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+
+    train_cfg = {"loss_weight": 2.0, "label_smoothing": 0.0,
+                 "center_sample": "radius", "center_sample_radius": 1.5,
+                 "init_loss_norm": 20}
+    tx, _ = make_optimizer(
+        params0, {"learning_rate": 2e-3, "weight_decay": 0.0, "epochs": 1,
+                  "warmup": False, "warmup_epochs": 0,
+                  "schedule_type": "multistep", "schedule_steps": []},
+        num_iters_per_epoch=10**6, clip_grad_l2norm=1.0)
+    state = TrainState.create(params0, tx, 20.0, rng)
+    step = jax.jit(build_train_step(cfg, train_cfg), donate_argnums=0)
+    first_loss = last_loss = None
+    for _ in range(240):
+        state, losses = step(state, batch)
+        if first_loss is None:
+            first_loss = float(losses["final_loss"])
+    last_loss = float(losses["final_loss"])
+    assert last_loss < first_loss * 0.5, (first_loss, last_loss)
+
+    trained = jax.device_get(state.params)
+    pipe_trained = MediaPipeline(extractor, cfg, _test_cfg(), trained,
+                                 batch_size=4)
+    in_memory = [MediaItem(video_id=it.video_id, duration=it.duration,
+                           frames=it.frames, wav=it.wav) for it in decoded]
+    summary, _ = run_media_pipeline(
+        in_memory, pipe_trained, str(tmp_path / "out"),
+        gt_records=gt_records, verbose=False)
+    assert summary["average_mAP"] > 0.3, summary
