@@ -60,9 +60,18 @@ def setup_jax(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # AVDD_FORCE_CPU=1 pins everything to host CPU (the axon TPU plugin
-    # ignores JAX_PLATFORMS, so an explicit escape hatch is needed)
+    # ignores the JAX_PLATFORMS env var, so an explicit escape hatch is
+    # needed). Restrict the platform via jax.config BEFORE any backend
+    # initializes: touching jax.devices() would initialize every backend,
+    # including the TPU plugin — which dials the tunnel and HANGS the
+    # process whenever the tunnel is down or the chip is claimed.
     if os.environ.get("AVDD_FORCE_CPU") == "1":
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            # backends already initialized (caller used jax first);
+            # fall back to pinning the default device
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
         return
 
     # Pallas banded attention (AVDD_USE_PALLAS=1 to enable). Off by default:

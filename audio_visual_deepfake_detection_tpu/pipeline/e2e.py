@@ -9,7 +9,8 @@ The reference runs this as four disconnected programs communicating through
 
 Here it is one driver with host-decode / device-compute pipelining:
 
-  decode (cv2 frames + wav, background threads)
+  decode (native libav* frames + AAC audio on background threads,
+          resize fused into the decode loop; cv2/ffmpeg fallbacks)
     -> frontends, batched on device (video encoder over stacked chunks of the
        whole batch, BYOL-A + Emotion2Vec over the padded wav batch)
     -> row truncation (deepfake_video_audio.py:2077-2078 formulas)
@@ -45,8 +46,9 @@ from ..models.meta_arch import ArchConfig
 @dataclasses.dataclass
 class MediaItem:
     """One video to run. Exactly one of (mp4_path, frames) must be set; wav
-    may come from a file, an array, or (for environments without an AAC
-    decoder — this image has no ffmpeg) a deterministic synthetic signal."""
+    comes from the mp4's own audio track (native decoder), a wav file, an
+    array, or — only when the host has no audio decoder at all — a
+    deterministic synthetic signal."""
 
     video_id: str
     duration: float
@@ -57,11 +59,19 @@ class MediaItem:
 
 
 def synth_wav(video_id: str, duration: float, sample_rate: int = 16000) -> np.ndarray:
-    """Deterministic per-video pseudo-audio for images without an AAC/ffmpeg
-    decoder: seeded by the video id so runs are reproducible."""
+    """Deterministic per-video pseudo-audio for hosts with NO audio decoder
+    at all (no libav*, no ffmpeg): seeded by the video id so runs are
+    reproducible. With the native decoder present (runtime/host_media.py)
+    the pipeline decodes the mp4's real AAC track instead."""
     seed = int.from_bytes(hashlib.sha1(video_id.encode()).digest()[:4], "little")
     n = int(round(duration * sample_rate))
     return np.random.default_rng(seed).standard_normal(n).astype(np.float32) * 0.1
+
+
+def _have_audio_decode() -> bool:
+    from ..runtime import host_media
+
+    return host_media.available()
 
 
 def discover_media(metadata_root: str, data_root: Optional[str] = None,
@@ -137,24 +147,26 @@ class MediaPipeline:
         if frames is None:
             from ..preprocess.video_io import read_video_frames
 
-            frames, _ = read_video_frames(item.mp4_path)
-            if self.host_resize:
-                # resize to the encoder input size on the host and ship
-                # uint8: ~20x less host->device transfer than full-res f32
-                # (decisive behind slow infeed links; harmless elsewhere).
-                # cv2 INTER_LINEAR on uint8 matches the float bilinear
-                # within 1/255 per channel.
-                import cv2
-
-                h, w = self.host_resize
-                frames = np.stack([
-                    cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
-                    for f in frames])
+            # resize to the encoder input size on the host and ship uint8:
+            # ~20x less host->device transfer than full-res f32 (decisive
+            # behind slow infeed links; harmless elsewhere). The native
+            # backend fuses the bilinear resize into the decode loop.
+            frames, _ = read_video_frames(item.mp4_path, size=self.host_resize)
         if wav is None and self.use_audio:
             if item.wav_path is not None:
                 from ..preprocess.wav import load_wav
 
                 wav = load_wav(item.wav_path)
+            elif item.mp4_path is not None and _have_audio_decode():
+                from ..preprocess.wav import decode_audio
+
+                # real AAC track; trim trailing encoder padding to the
+                # metadata duration (= audio_frames/16000, the count the
+                # offline .npy pipeline saw)
+                wav = decode_audio(item.mp4_path)
+                n = int(round(item.duration * 16000))
+                if 0 < n < len(wav):
+                    wav = wav[:n]
             else:
                 wav = synth_wav(item.video_id, item.duration)
         return dataclasses.replace(item, frames=frames, wav=wav)

@@ -1,6 +1,8 @@
 """Host-side video decode (reference uses torchvision.io.read_video,
-video_feature/aligned_video/extract_video_features.py:53-77). Here: OpenCV
-when available, ffmpeg rawvideo pipe as fallback."""
+video_feature/aligned_video/extract_video_features.py:53-77). Backends, in
+order: the native in-process libav* decoder (runtime/csrc/media.cpp — one
+GIL-released C call, optional resize fused into the decode loop), OpenCV,
+ffmpeg rawvideo pipe."""
 
 from __future__ import annotations
 
@@ -11,17 +13,39 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def read_video_frames(path: str, max_frames: Optional[int] = None) -> Tuple[np.ndarray, float]:
-    """Decode to (T, H, W, 3) uint8 RGB + fps."""
+def read_video_frames(path: str, max_frames: Optional[int] = None,
+                      size: Optional[Tuple[int, int]] = None,
+                      ) -> Tuple[np.ndarray, float]:
+    """Decode to (T, H, W, 3) uint8 RGB + fps.
+
+    ``size=(h, w)`` resizes during decode (bilinear) — on the native backend
+    this never materializes the full-resolution frame stack.
+    """
+    from ..runtime import host_media
+
+    if host_media.available():
+        h, w = size if size else (0, 0)
+        frames, fps = host_media.decode_video(path, out_w=w, out_h=h)
+        if max_frames:
+            frames = frames[:max_frames]
+        return frames, fps
     try:
         import cv2  # noqa: F401
 
-        return _read_cv2(path, max_frames)
+        frames, fps = _read_cv2(path, max_frames)
     except ImportError:
-        pass
-    if shutil.which("ffmpeg"):
-        return _read_ffmpeg(path, max_frames)
-    raise RuntimeError("no video decoder available (need cv2 or ffmpeg)")
+        if not shutil.which("ffmpeg"):
+            raise RuntimeError(
+                "no video decoder available (need libav*, cv2 or ffmpeg)")
+        frames, fps = _read_ffmpeg(path, max_frames)
+    if size:
+        import cv2
+
+        h, w = size
+        frames = np.stack([
+            cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
+            for f in frames])
+    return frames, fps
 
 
 def _read_cv2(path: str, max_frames):

@@ -1,9 +1,12 @@
 """WAV extraction from mp4 (reference: preprocess/extract_wav.py).
 
 ffmpeg ``-map 0:a`` mp4 -> 16 kHz mono wav, parallelized across a process
-pool, with per-file error logging. ffmpeg is invoked via subprocess when
-available; environments without it get a clear error (the downstream feature
-pipeline can also consume pre-extracted wavs or .npy caches).
+pool, with per-file error logging. Two backends:
+
+- the **native in-process decoder** (runtime/csrc/media.cpp on the system
+  libav* libraries) — no subprocess, releases the GIL, preferred;
+- the ffmpeg CLI via subprocess, matching the reference command, when the
+  binary exists and the native libraries don't.
 """
 
 from __future__ import annotations
@@ -23,11 +26,35 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def have_native() -> bool:
+    from ..runtime import host_media
+
+    return host_media.available()
+
+
+def decode_audio(mp4_path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """mp4 -> mono float32 PCM in [-1, 1] without touching disk (native
+    libav* decode; the in-process equivalent of extract_wav + load_wav)."""
+    from ..runtime import host_media
+
+    return host_media.decode_audio(mp4_path, sample_rate)
+
+
 def extract_wav(mp4_path: str, wav_path: str, sample_rate: int = SAMPLE_RATE) -> Optional[str]:
-    """One mp4 -> wav. Returns an error string or None."""
-    if not have_ffmpeg():
-        return "ffmpeg not available"
+    """One mp4 -> 16 kHz mono wav file. Returns an error string or None."""
     os.makedirs(os.path.dirname(wav_path) or ".", exist_ok=True)
+    if have_native():
+        try:
+            pcm = decode_audio(mp4_path, sample_rate)
+        except RuntimeError as e:
+            return str(e)
+        from scipy.io import wavfile
+
+        wavfile.write(wav_path, sample_rate,
+                      np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16))
+        return None
+    if not have_ffmpeg():
+        return "no audio decoder (neither native libav* nor ffmpeg CLI)"
     cmd = ["ffmpeg", "-y", "-i", mp4_path, "-map", "0:a",
            "-ar", str(sample_rate), "-ac", "1", "-loglevel", "error", wav_path]
     try:
@@ -42,6 +69,10 @@ def extract_wav_batch(pairs: Sequence[Tuple[str, str]], num_workers: int = 16,
     """Parallel extraction (Pool(16) in the reference, extract_wav.py:43).
     Returns failing (path, error) pairs; optionally logs them to a file."""
     errors: List[Tuple[str, str]] = []
+    if have_native():  # build the shared lib once before the pool forks
+        from ..runtime import host_media
+
+        host_media.ensure_built()
     with ProcessPoolExecutor(num_workers) as pool:
         futures = {pool.submit(extract_wav, src, dst): src for src, dst in pairs}
         for fut, src in futures.items():

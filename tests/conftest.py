@@ -11,9 +11,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-# The axon TPU plugin on this machine ignores JAX_PLATFORMS, so pin the
-# default device to CPU explicitly — tests must not ride the TPU tunnel.
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# The axon TPU plugin on this machine ignores the JAX_PLATFORMS env var (and
+# touching jax.devices() initializes EVERY backend, dialing the TPU tunnel —
+# which hangs the whole suite when the tunnel is down). Restricting the
+# platform via jax.config before any backend init keeps tests CPU-only and
+# tunnel-independent.
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache so repeated test runs skip CPU recompiles
 _cache = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
