@@ -111,3 +111,92 @@ def test_conv_output_length_matches_torch(hf_modules):
         with torch.no_grad():
             t = enc(torch.zeros(1, n)).shape[-1]
         assert conv_output_length(n) == t, n
+
+
+# ---------------------------------------------------------------------------
+# AltBlock trunk vs torch.nn.MultiheadAttention (author-independent oracle)
+# ---------------------------------------------------------------------------
+
+def _alt_block_oracle(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
+                      fc2_w, fc2_b, n1_w, n1_b, n2_w, n2_b, n_heads,
+                      key_padding=None, alibi=None):
+    """Reference AltBlock (post-norm branch, upstream modules.py:240-247)
+    rebuilt from torch's OWN attention implementation: the scaled-dot
+    attention, padding-mask and float-bias semantics all come from
+    torch.nn.MultiheadAttention (independent authorship), leaving only the
+    8-line block composition transcribed from the reference."""
+    import torch.nn as tnn
+
+    C = x.shape[-1]
+    mha = tnn.MultiheadAttention(C, n_heads, batch_first=True)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(qkv_w)
+        mha.in_proj_bias.copy_(qkv_b)
+        mha.out_proj.weight.copy_(proj_w)
+        mha.out_proj.bias.copy_(proj_b)
+    mha.eval()
+    attn_mask = None
+    if alibi is not None:
+        # torch MHA accepts a float (B*H, L, S) additive score bias
+        B, H, L, S = alibi.shape
+        attn_mask = alibi.reshape(B * H, L, S)
+    with torch.no_grad():
+        att, _ = mha(x, x, x, key_padding_mask=key_padding,
+                     attn_mask=attn_mask, need_weights=False)
+    # modules.py:240-247 (layer_norm_first=False):
+    #   x = x + drop_path(attn(x, ...)); r = x = norm1(x)
+    #   x = mlp(x); x = norm2(r + drop_path(post_mlp_dropout(x)))
+    x = x + att
+    r = torch.nn.functional.layer_norm(x, (C,), n1_w, n1_b, eps=1e-6)
+    h = torch.nn.functional.linear(r, fc1_w, fc1_b)
+    h = torch.nn.functional.gelu(h)
+    h = torch.nn.functional.linear(h, fc2_w, fc2_b)
+    return torch.nn.functional.layer_norm(r + h, (C,), n2_w, n2_b, eps=1e-6)
+
+
+@pytest.mark.parametrize("use_alibi,use_pad", [(False, False), (True, False),
+                                               (False, True), (True, True)])
+def test_alt_block_matches_torch_mha(rng, use_alibi, use_pad):
+    from audio_visual_deepfake_detection_tpu.frontends.emotion2vec import (
+        AltBlock, alibi_bias)
+
+    B, T, C, H = 2, 23, 64, 4
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    block = AltBlock(C, H)
+    pad = None
+    if use_pad:
+        pad = np.zeros((B, T), bool)
+        pad[0, -5:] = True
+        pad[1, -1:] = True
+    bias = None
+    if use_alibi:
+        bias = np.broadcast_to(alibi_bias(H, T)[None], (B, H, T, T)).copy()
+
+    params = block.init(jax.random.PRNGKey(3), jnp.asarray(x),
+                        None if pad is None else jnp.asarray(pad),
+                        None if bias is None else jnp.asarray(bias))
+    # randomize every param (flax zero-inits biases)
+    leaves, treedef = jax.tree.flatten(params)
+    leaves = [np.asarray(rng.standard_normal(l.shape), np.float32) * 0.05
+              for l in leaves]
+    params = jax.tree.unflatten(treedef, leaves)
+    got = np.asarray(block.apply(
+        params, jnp.asarray(x),
+        None if pad is None else jnp.asarray(pad),
+        None if bias is None else jnp.asarray(bias)))
+
+    p = params["params"]
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    want = _alt_block_oracle(
+        t(x),
+        t(p["attn"]["qkv"]["kernel"]).T, t(p["attn"]["qkv"]["bias"]),
+        t(p["attn"]["proj"]["kernel"]).T, t(p["attn"]["proj"]["bias"]),
+        t(p["mlp_fc1"]["kernel"]).T, t(p["mlp_fc1"]["bias"]),
+        t(p["mlp_fc2"]["kernel"]).T, t(p["mlp_fc2"]["bias"]),
+        t(p["norm1"]["scale"]), t(p["norm1"]["bias"]),
+        t(p["norm2"]["scale"]), t(p["norm2"]["bias"]),
+        H,
+        key_padding=None if pad is None else t(pad),
+        alibi=None if bias is None else t(bias),
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
