@@ -156,10 +156,21 @@ class FeatureExtractor:
 
     def extract_all(self, mp4_path: str, wav_path: Optional[str] = None
                     ) -> Dict[str, np.ndarray]:
+        """All three streams for one mp4. Audio comes from ``wav_path`` when
+        given (the reference's pre-extracted wav farm), otherwise straight
+        from the mp4's own track via the native decoder — the separate wav
+        extraction stage (preprocess/extract_wav.py) becomes optional."""
         frames, fps = read_video_frames(mp4_path)
         out = {"video": self.video_features(frames)}
+        wav = None
         if wav_path and os.path.exists(wav_path):
             wav = load_wav(wav_path)
+        else:
+            from ..runtime import host_media
+
+            if host_media.available():
+                wav = host_media.decode_audio(mp4_path)
+        if wav is not None:
             out["byola"] = self.byola_features(wav)
             out["emotion"] = self.emotion_features(wav)
         return out

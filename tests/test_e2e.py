@@ -97,3 +97,30 @@ def test_inference_to_submission_files(tmp_path, rng):
     for line in txt:
         vid, prob = line.split(";")
         assert 0.0 <= float(prob) <= 1.0
+
+
+@pytest.mark.skipif(not os.path.isdir(TINY_DATA), reason="tinydataset absent")
+def test_extract_all_uses_mp4_audio_track(tmp_path):
+    """Without a wav farm, extract_all pulls audio straight from the mp4
+    (native decoder) — all three streams come back at their true rates."""
+    from audio_visual_deepfake_detection_tpu.runtime import host_media
+
+    if not host_media.available():
+        pytest.skip("native media decoder unavailable")
+    mp4 = sorted(glob.glob(os.path.join(TINY_DATA, "*", "*", "*", "real.mp4")))[0]
+    extractor = FeatureExtractor(
+        video_chunk=8,
+        video_model=C3DVideoEncoder(n_features=(4, 6, 8, 8), out_dim=16),
+        byola_model=AudioNTT2020(n_mels=64, d=32),
+        emotion_model=Emotion2Vec(Emotion2VecConfig(
+            embed_dim=32, depth=1, prenet_depth=1, num_heads=2)),
+    )
+    feats = extractor.extract_all(mp4, wav_path=None)
+    assert set(feats) == {"video", "byola", "emotion"}
+    meta = json.load(open(mp4.replace("/data/", "/metadata/")
+                          .replace(".mp4", ".json")))
+    dur = meta["audio_frames"] / 16000.0
+    assert feats["video"].shape[0] == meta["video_frames"]
+    # ~12.5 Hz and 50 Hz rows for the real decoded duration
+    assert abs(feats["byola"].shape[0] - 12.5 * dur) <= 2
+    assert abs(feats["emotion"].shape[0] - 50 * dur) <= 2
