@@ -99,6 +99,9 @@ def default_config() -> Dict[str, Any]:
             "multiclass_nms": True,
             "ext_score_file": None,
             "voting_thresh": 0.75,
+            # TPU extension (not in the reference DEFAULTS): pre-NMS top-K
+            # preselect for serving latency; 0 = reference behavior
+            "nms_pre_topk": 0,
         },
         "opt": {
             "type": "AdamW",
@@ -233,4 +236,5 @@ def test_config_from(config: Dict) -> "TestConfig":
         multiclass_nms=t["multiclass_nms"],
         voting_thresh=t["voting_thresh"],
         ext_score_file=t.get("ext_score_file"),
+        nms_pre_topk=t.get("nms_pre_topk", 0),
     )

@@ -31,6 +31,10 @@ class TestConfig:
 
     pre_nms_thresh: float = 0.001
     pre_nms_topk: int = 2000
+    # 0 = off (reference behavior). >0 keeps only the K best-scored
+    # candidates across all levels before the sequential soft-NMS loop —
+    # a small-batch serving-latency knob (see postprocess_batch).
+    nms_pre_topk: int = 0
     iou_threshold: float = 0.1
     min_score: float = 0.01
     max_seg_num: int = 1000
@@ -99,6 +103,16 @@ def postprocess_batch(
     """NMS + voting + grid->seconds (av_fd_no_recon.py:827-876), vmapped."""
 
     def one(s, sc, ci, v, f, dur, stride, nframes):
+        if 0 < cfg.nms_pre_topk < s.shape[0]:
+            # serving-latency knob: restrict the sequential suppression loop
+            # to the K best-scored candidates. Exact whenever every pick the
+            # full run would make is inside the initial top-K (soft-NMS only
+            # ever lowers scores, so in practice K >= ~5x max_seg_num is
+            # indistinguishable); OFF by default for bit-parity with the
+            # reference, which hands every candidate to the C++ NMS.
+            idx = jax.lax.top_k(jnp.where(v, sc, -jnp.inf),
+                                cfg.nms_pre_topk)[1]
+            s, sc, ci, v = s[idx], sc[idx], ci[idx], v[idx]
         if cfg.nms_method != "none":
             s, sc, ci, v = batched_nms(
                 s, sc, ci, v,

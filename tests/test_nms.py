@@ -106,3 +106,59 @@ def test_multiclass_nms_matches_per_class_host(rng):
     assert k == len(expect)
     np.testing.assert_allclose(o_scores[:k], [e[1] for e in expect], atol=1e-5)
     np.testing.assert_array_equal(o_cls[:k], [e[2] for e in expect])
+
+
+def _postprocess(segs, scores, valid, cfg):
+    from audio_visual_deepfake_detection_tpu.infer.decode import (
+        postprocess_batch)
+
+    n = segs.shape[0]
+    one = jnp.ones((1,), jnp.float32)
+    return tuple(map(np.asarray, postprocess_batch(
+        jnp.asarray(segs)[None], jnp.asarray(scores)[None],
+        jnp.zeros((1, n), jnp.int32), jnp.asarray(valid)[None],
+        one * 25.0, one * 100.0, one, one, cfg, num_classes=1)))
+
+
+def test_nms_pre_topk_exact_when_covering(rng):
+    """The serving preselect (nms_pre_topk) makes the same picks as the full
+    run whenever K covers every valid candidate (scores/validity identical;
+    voting coordinates may differ at float-epsilon because the gather
+    reorders seg_voting's weighted accumulation)."""
+    from audio_visual_deepfake_detection_tpu.infer.decode import TestConfig
+
+    segs, scores = _random_candidates(rng, n=120)
+    valid = scores > 0.1
+    base = dict(pre_nms_thresh=0.001, pre_nms_topk=2000, iou_threshold=0.1,
+                min_score=0.01, max_seg_num=15, nms_method="soft",
+                nms_sigma=0.75, duration_thresh=0.001, multiclass_nms=False,
+                voting_thresh=0.9)
+    full = _postprocess(segs, scores, valid, TestConfig(**base))
+    pre = _postprocess(segs, scores, valid,
+                       TestConfig(**base, nms_pre_topk=int(valid.sum())))
+    np.testing.assert_array_equal(full[1], pre[1])   # scores: same picks
+    np.testing.assert_array_equal(full[3], pre[3])   # validity
+    np.testing.assert_allclose(full[0], pre[0], atol=1e-5)  # voted segments
+
+
+def test_nms_pre_topk_small_k_keeps_top_picks(rng):
+    """With K = 4x max_seg_num on well-separated segments, the preselected
+    run returns the same detections as the full run."""
+    from audio_visual_deepfake_detection_tpu.infer.decode import TestConfig
+
+    n = 200
+    start = (rng.permutation(n) * 30.0).astype(np.float32)
+    segs = np.stack([start, start + rng.uniform(2, 10, n).astype(np.float32)],
+                    axis=1)
+    scores = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    base = dict(pre_nms_thresh=0.001, pre_nms_topk=2000, iou_threshold=0.1,
+                min_score=0.01, max_seg_num=10, nms_method="soft",
+                nms_sigma=0.75, duration_thresh=0.001, multiclass_nms=False,
+                voting_thresh=0.9)
+    full = _postprocess(segs, scores, valid, TestConfig(**base))
+    pre = _postprocess(segs, scores, valid, TestConfig(**base, nms_pre_topk=40))
+    k = int(full[3].sum())
+    assert k == 10
+    np.testing.assert_allclose(pre[0][0, :k], full[0][0, :k], atol=1e-5)
+    np.testing.assert_allclose(pre[1][0, :k], full[1][0, :k], atol=1e-6)
