@@ -51,10 +51,24 @@ def setup_jax(cache_dir: str | None = None) -> None:
     # the base dir (device-keyed already; keeps the warm cache warm).
     if (os.environ.get("AVDD_FORCE_CPU") == "1"
             or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+        import hashlib
         import platform
 
-        cache = os.path.join(cache,
-                             f"cpu-{platform.machine()}-{os.uname().release}")
+        # key by the actual CPU feature set: machines can share an arch and
+        # kernel release yet differ in ISA extensions, and XLA:CPU AOT
+        # executables are feature-exact (mismatches spew loader warnings and
+        # risk SIGILL)
+        feats = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                        break
+        except OSError:
+            pass
+        key = hashlib.sha1(feats.encode()).hexdigest()[:12]
+        cache = os.path.join(cache, f"cpu-{platform.machine()}-{key}")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

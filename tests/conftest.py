@@ -18,8 +18,24 @@ import jax
 # tunnel-independent.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache so repeated test runs skip CPU recompiles
-_cache = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+# persistent compile cache so repeated test runs skip CPU recompiles —
+# keyed by the CPU feature set (XLA:CPU AOT executables are feature-exact;
+# reusing another machine's entries warns and risks SIGILL)
+import hashlib
+import platform
+
+_feats = ""
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
+                break
+except OSError:
+    pass
+_cache = os.path.join(
+    os.path.dirname(__file__), ".jax_test_cache",
+    f"cpu-{platform.machine()}-{hashlib.sha1(_feats.encode()).hexdigest()[:12]}")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
