@@ -160,13 +160,21 @@ class MediaPipeline:
             elif item.mp4_path is not None and _have_audio_decode():
                 from ..preprocess.wav import decode_audio
 
-                # real AAC track; trim trailing encoder padding to the
-                # metadata duration (= audio_frames/16000, the count the
-                # offline .npy pipeline saw)
-                wav = decode_audio(item.mp4_path)
-                n = int(round(item.duration * 16000))
-                if 0 < n < len(wav):
-                    wav = wav[:n]
+                try:
+                    # real AAC track; trim trailing encoder padding to the
+                    # metadata duration (= audio_frames/16000, the count the
+                    # offline .npy pipeline saw)
+                    wav = decode_audio(item.mp4_path)
+                    n = int(round(item.duration * 16000))
+                    if 0 < n < len(wav):
+                        wav = wav[:n]
+                except RuntimeError as e:
+                    # corrupt/audio-less file: don't kill a 343k-video sweep
+                    # (reference logs per-file errors and moves on,
+                    # extract_wav.py:23-26)
+                    print(f"audio decode failed for {item.video_id}: {e}; "
+                          "substituting synthetic audio")
+                    wav = synth_wav(item.video_id, item.duration)
             else:
                 wav = synth_wav(item.video_id, item.duration)
         return dataclasses.replace(item, frames=frames, wav=wav)

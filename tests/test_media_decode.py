@@ -136,3 +136,20 @@ def test_e2e_decode_uses_real_audio():
     assert decoded.frames.shape == (meta["video_frames"], 96, 96, 3)
     synth = synth_wav("x.mp4", dur)
     assert not np.allclose(decoded.wav[:1000], synth[:1000])
+
+
+def test_e2e_decode_falls_back_on_undecodable_audio(tmp_path, capsys):
+    """A video-only (or corrupt-audio) file must not kill the sweep: the
+    decode stage logs and substitutes the synthetic signal."""
+    from audio_visual_deepfake_detection_tpu.pipeline.e2e import (
+        MediaItem, MediaPipeline, synth_wav)
+
+    bad = tmp_path / "noaudio.mp4"
+    bad.write_bytes(b"\x00" * 64)  # not a real container
+    # frames supplied directly so only the audio path is exercised
+    item = MediaItem(video_id="bad.mp4", duration=1.0, mp4_path=str(bad),
+                     frames=np.zeros((4, 96, 96, 3), np.uint8))
+    decoded = MediaPipeline._decode(
+        type("P", (), {"use_audio": True, "host_resize": (96, 96)})(), item)
+    np.testing.assert_array_equal(decoded.wav, synth_wav("bad.mp4", 1.0))
+    assert "substituting synthetic audio" in capsys.readouterr().out
