@@ -147,11 +147,22 @@ class MediaPipeline:
         if frames is None:
             from ..preprocess.video_io import read_video_frames
 
-            # resize to the encoder input size on the host and ship uint8:
-            # ~20x less host->device transfer than full-res f32 (decisive
-            # behind slow infeed links; harmless elsewhere). The native
-            # backend fuses the bilinear resize into the decode loop.
-            frames, _ = read_video_frames(item.mp4_path, size=self.host_resize)
+            try:
+                # resize to the encoder input size on the host and ship uint8:
+                # ~20x less host->device transfer than full-res f32 (decisive
+                # behind slow infeed links; harmless elsewhere). The native
+                # backend fuses the bilinear resize into the decode loop.
+                frames, _ = read_video_frames(item.mp4_path, size=self.host_resize)
+            except Exception as e:  # corrupt container / truncated stream
+                # the sweep must still emit a prediction row for this video id
+                # (the submission format covers every video; reference
+                # tolerates per-file failures the same way,
+                # extract_wav.py:23-26 / deepfake_video_audio.py:908-917)
+                h, w = self.host_resize or (96, 96)
+                n = max(1, int(round(item.duration * 25.0)))
+                print(f"video decode failed for {item.video_id}: {e}; "
+                      "substituting blank frames")
+                frames = np.zeros((n, h, w, 3), np.uint8)
         if wav is None and self.use_audio:
             if item.wav_path is not None:
                 from ..preprocess.wav import load_wav

@@ -153,3 +153,19 @@ def test_e2e_decode_falls_back_on_undecodable_audio(tmp_path, capsys):
         type("P", (), {"use_audio": True, "host_resize": (96, 96)})(), item)
     np.testing.assert_array_equal(decoded.wav, synth_wav("bad.mp4", 1.0))
     assert "substituting synthetic audio" in capsys.readouterr().out
+
+
+def test_e2e_decode_falls_back_on_undecodable_video(tmp_path, capsys):
+    """A corrupt mp4 must not kill the sweep either: the video stage
+    substitutes blank frames so the video id still gets a prediction row."""
+    from audio_visual_deepfake_detection_tpu.pipeline.e2e import (
+        MediaItem, MediaPipeline)
+
+    bad = tmp_path / "corrupt.mp4"
+    bad.write_bytes(b"\x00" * 64)
+    item = MediaItem(video_id="corrupt.mp4", duration=2.0, mp4_path=str(bad))
+    decoded = MediaPipeline._decode(
+        type("P", (), {"use_audio": False, "host_resize": (96, 96)})(), item)
+    assert decoded.frames.shape == (50, 96, 96, 3)  # 2 s at nominal 25 fps
+    assert decoded.frames.dtype == np.uint8 and not decoded.frames.any()
+    assert "substituting blank frames" in capsys.readouterr().out
