@@ -30,6 +30,8 @@ def train_one_epoch(
     ckpt_every_iters: int = 0,
     ckpt_folder: Optional[str] = None,
     batch_size: Optional[int] = None,
+    preempt=None,
+    preempt_check_every: int = 20,
 ):
     loader.set_epoch(curr_epoch)
     num_iters = len(loader)
@@ -76,6 +78,21 @@ def train_one_epoch(
                 and ckpt_folder:
             save_checkpoint(ckpt_folder, curr_epoch + 1, state,
                             tag=f"epoch_{curr_epoch + 1:03d}_iter{iter_idx}")
+
+        # preemption poll on a fixed cadence — every host hits the SAME
+        # iteration index, which agreed() requires (it is a collective when
+        # multi-host; see train/preempt.py)
+        if preempt is not None and (iter_idx + 1) % preempt_check_every == 0 \
+                and preempt.agreed():
+            if jax.process_index() == 0 and ckpt_folder:
+                save_checkpoint(
+                    ckpt_folder, curr_epoch + 1, state,
+                    tag=f"preempt_epoch_{curr_epoch + 1:03d}_iter{iter_idx}")
+            preempt.triggered = True
+            print(f"[Train]: preemption requested — stopped at epoch "
+                  f"{curr_epoch:d} iter {iter_idx:d}"
+                  + (f", checkpoint in {ckpt_folder}" if ckpt_folder else ""))
+            return state
 
     if schedule is not None:
         print(f"[Train]: Epoch {curr_epoch:d} finished with "

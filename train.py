@@ -26,8 +26,8 @@ from audio_visual_deepfake_detection_tpu.data import (
 from audio_visual_deepfake_detection_tpu.parallel import (
     make_mesh, replicate_tree, warmup_collectives)
 from audio_visual_deepfake_detection_tpu.train import (
-    MetricsLogger, TrainState, build_train_step, init_model, make_optimizer,
-    restore_checkpoint, save_checkpoint, train_one_epoch)
+    MetricsLogger, PreemptionGuard, TrainState, build_train_step, init_model,
+    make_optimizer, restore_checkpoint, save_checkpoint, train_one_epoch)
 
 
 def main(args):
@@ -126,6 +126,10 @@ def main(args):
         donate_argnums=0)
     logger = MetricsLogger(out_folder) if PROC_ID == 0 else None
 
+    # SIGTERM (TPU-VM eviction notice) -> finish the current step, write a
+    # mid-epoch checkpoint, exit 0; resume with --resume <.../iters_ckpt/preempt_*>
+    guard = PreemptionGuard()
+
     max_epochs = config["opt"].get(
         "early_stop_epochs",
         config["opt"]["epochs"] + (config["opt"]["warmup_epochs"]
@@ -136,13 +140,19 @@ def main(args):
             logger=logger, print_freq=args.print_freq,
             ckpt_every_iters=args.ckpt_iter_freq if PROC_ID == 0 else 0,
             ckpt_folder=os.path.join(out_folder, "iters_ckpt"),
-            batch_size=local_batch)
+            batch_size=local_batch,
+            preempt=guard, preempt_check_every=args.print_freq)
+        if guard.triggered:
+            break
         if PROC_ID == 0 and ((epoch == max_epochs - 1)
                              or ((epoch + 1) % args.ckpt_freq == 0)):
             save_checkpoint(out_folder, epoch + 1, jax.device_get(state), is_best=True)
     if logger is not None:
         logger.close()
-    print(f"Training done -> {out_folder}")
+    if guard.triggered:
+        print(f"Training preempted -> {out_folder} (resume from iters_ckpt/preempt_*)")
+    else:
+        print(f"Training done -> {out_folder}")
 
 
 if __name__ == "__main__":
