@@ -177,10 +177,13 @@ def inference_one_epoch(
     output_folder: Optional[str] = None,
     flush_every: int = 5000,
     print_freq: int = 20,
+    seen_offset: int = 0,
 ):
     """Stream detection results; returns the flat prediction table for
     evaluation plus all result items. ``loader_batches`` yields collated
-    numpy batches with video_ids."""
+    numpy batches with video_ids. ``seen_offset`` shifts the numbered flush
+    file names so a resumed shard (inference.py --resume) never collides
+    with the flushes an earlier run already wrote."""
     if output_folder:
         os.makedirs(output_folder, exist_ok=True)
     results = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
@@ -217,7 +220,8 @@ def inference_one_epoch(
         seen += len(items)
 
         if output_folder and seen - flushed >= flush_every:
-            with open(os.path.join(output_folder, f"data_left{seen}.json"),
+            with open(os.path.join(output_folder,
+                                   f"data_left{seen_offset + seen}.json"),
                       "w", encoding="utf-8") as f:
                 json.dump(batch_results, f, ensure_ascii=False, indent=4)
             batch_results = []

@@ -32,22 +32,32 @@ def main(args):
     extractor = FeatureExtractor(seed=args.seed, video_model=video_model,
                                  video_chunk=args.video_chunk)
     errors = []
+    skipped = 0
+    cache_names = ("align_video", "content_audio", "emotion_audio")
     for i, rel in enumerate(rels):
         mp4 = os.path.join(args.video_root, rel)
         wav = os.path.join(args.wav_root, rel.replace(".mp4", ".wav")) \
             if args.wav_root else None
         rel_npy = rel.replace(".mp4", ".npy")
+        # restartability: a killed sweep re-run picks up where it left off
+        # (all three stream caches present => nothing to redo for this clip)
+        if not args.no_skip_existing and all(
+                os.path.exists(os.path.join(args.output_root, n, rel_npy))
+                for n in cache_names):
+            skipped += 1
+            continue
         try:
             extractor.extract_to_cache(mp4, wav, args.output_root, rel_npy)
         except Exception as e:  # keep going on corrupt media, log errors
             errors.append((rel, str(e)))
         if i % 50 == 0:
-            print(f"{i}/{len(rels)} done ({len(errors)} errors)")
+            print(f"{i}/{len(rels)} done ({len(errors)} errors, {skipped} skipped)")
     if errors:
         with open(os.path.join(args.output_root, "extract_errors.txt"), "a") as f:
             for rel, err in errors:
                 f.write(f"{rel}\t{err}\n")
-    print(f"done: {len(rels) - len(errors)} ok, {len(errors)} errors")
+    print(f"done: {len(rels) - len(errors) - skipped} ok, {skipped} skipped, "
+          f"{len(errors)} errors")
 
 
 if __name__ == "__main__":
@@ -57,6 +67,9 @@ if __name__ == "__main__":
     parser.add_argument("--wav-root", default="")
     parser.add_argument("--output-root", required=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-skip-existing", action="store_true",
+                        help="re-extract even when all three stream caches "
+                             "already exist for a clip")
     parser.add_argument("--video-encoder", default="c3d",
                         choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"],
                         help="visual backbone; the reference's production "

@@ -116,6 +116,32 @@ def main(args):
         out_folder = os.path.join(out_folder, f"host{PROC_ID}")
     os.makedirs(out_folder, exist_ok=True)
 
+    # --resume: a shard killed mid-sweep restarts from its periodic flushes
+    # instead of redoing the whole shard (the reference rides this exact
+    # manual loop across 343k videos / 7 shards with no recovery at all).
+    done = set()
+    if args.resume:
+        import glob
+        import json
+        for path in sorted(glob.glob(os.path.join(out_folder, "data*.json"))):
+            with open(path, encoding="utf-8") as f:
+                for item in json.load(f):
+                    done.add(item["video_id"])
+        # an unnumbered final flush from a previous (completed or resumed)
+        # run would be overwritten by this run's final flush — renumber it
+        final = os.path.join(out_folder, "data_left.json")
+        if os.path.exists(final):
+            part = 0
+            while os.path.exists(os.path.join(out_folder, f"data_left_part{part}.json")):
+                part += 1
+            os.rename(final, os.path.join(out_folder, f"data_left_part{part}.json"))
+        if done:
+            before = len(dataset)
+            dataset.data_list = [it for it in dataset.data_list
+                                 if it["id"] not in done]
+            print(f"Resume: {before - len(dataset)}/{before} videos already "
+                  f"flushed, {len(dataset)} to go")
+
     def batches():
         for batch in loader:
             yield pad_batch_to(batch, args.batch_size) \
@@ -124,7 +150,8 @@ def main(args):
     start = time.time()
     results, _ = inference_one_epoch(
         batches(), infer_fn, params, output_folder=out_folder,
-        flush_every=args.flush_every, print_freq=args.print_freq)
+        flush_every=args.flush_every, print_freq=args.print_freq,
+        seen_offset=len(done))
     total = time.time() - start
     print(f"Shard {args.sub_index}: {len(dataset)} videos in {total:.1f}s "
           f"({len(dataset)/max(total,1e-9):.1f} videos/s) -> {out_folder}")
@@ -149,5 +176,9 @@ if __name__ == "__main__":
                              "--device-resample (video,byola,emotion order "
                              "per the dataset's stream tuple)")
     parser.add_argument("--flush-every", type=int, default=5000)
+    parser.add_argument("--resume", action="store_true",
+                        help="skip videos already present in this shard's "
+                             "data*.json flushes (restart after a crash or "
+                             "preemption without redoing the shard)")
     parser.add_argument("-p", "--print-freq", type=int, default=20)
     main(parser.parse_args())

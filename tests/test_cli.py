@@ -213,3 +213,61 @@ def test_train_cli_device_resample(workspace):
     assert lines, "no metrics logged"
     last = json.loads(lines[-1])
     assert np.isfinite(last.get("train/final_loss", np.nan))
+
+
+def test_inference_resume(workspace, trained):
+    """inference.py --resume: videos already present in the shard's data*.json
+    flushes are skipped (their fabricated entries survive untouched), the
+    stale unnumbered final flush is renumbered instead of overwritten, and a
+    second --resume run is a no-op."""
+    import yaml as _yaml
+
+    root, cfg_path = workspace
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["output_folder"] = str(root / "runs_resume")
+    cfg2 = root / "config_resume.yaml"
+    cfg2.write_text(_yaml.safe_dump(cfg))
+
+    shard_ids = [line.split(",")[0] for line in
+                 (root / "test_folder" / "deepfake_test_sub1.txt")
+                 .read_text().splitlines()]
+    out_dir = root / "runs_resume" / "1"
+    out_dir.mkdir(parents=True)
+    sentinel = {
+        vid: {"video_id": vid, "video_cls": [0.5], "scores": [0.123],
+              "segments": [[1.0, 2.0]]} for vid in shard_ids[:3]
+    }
+    # a numbered flush (run died after it) + an unnumbered final flush (from
+    # an older completed attempt) — both must count as done
+    (out_dir / "data_left2.json").write_text(
+        json.dumps([sentinel[v] for v in shard_ids[:2]]))
+    (out_dir / "data_left.json").write_text(
+        json.dumps([sentinel[shard_ids[2]]]))
+
+    proc = _run(["inference.py", str(cfg2), "1", "--ckpt", trained,
+                 "--batch-size", "4", "--flush-every", "4", "--resume"])
+    assert f"Resume: 3/{len(shard_ids)} videos already flushed" in proc.stdout
+
+    files = {os.path.basename(p) for p in glob.glob(str(out_dir / "data*.json"))}
+    assert "data_left_part0.json" in files  # renumbered, not overwritten
+    items = {it["video_id"]: it for p in glob.glob(str(out_dir / "data*.json"))
+             for it in json.load(open(p))}
+    assert set(items) == set(shard_ids)  # no video lost, none duplicated
+    n_items = sum(len(json.load(open(p)))
+                  for p in glob.glob(str(out_dir / "data*.json")))
+    assert n_items == len(shard_ids)
+    for vid, fab in sentinel.items():
+        assert items[vid] == fab  # pre-done entries untouched
+
+    # resumed-from-nothing-left: a second --resume run changes no results
+    proc = _run(["inference.py", str(cfg2), "1", "--ckpt", trained,
+                 "--batch-size", "4", "--flush-every", "4", "--resume"])
+    assert f"Resume: {len(shard_ids)}/{len(shard_ids)}" in proc.stdout
+    items2 = {it["video_id"]: it for p in glob.glob(str(out_dir / "data*.json"))
+              for it in json.load(open(p))}
+    assert items2 == items
+
+    # the merged submission covers the full shard
+    _run(["generate_results.py", str(root / "runs_resume"), "--num-shards", "1"])
+    pred = json.load(open(root / "runs_resume" / "prediction.json"))
+    assert len(pred) == len(shard_ids)
