@@ -178,12 +178,16 @@ def inference_one_epoch(
     flush_every: int = 5000,
     print_freq: int = 20,
     seen_offset: int = 0,
+    preempt=None,
 ):
     """Stream detection results; returns the flat prediction table for
     evaluation plus all result items. ``loader_batches`` yields collated
     numpy batches with video_ids. ``seen_offset`` shifts the numbered flush
     file names so a resumed shard (inference.py --resume) never collides
-    with the flushes an earlier run already wrote."""
+    with the flushes an earlier run already wrote. ``preempt`` (a
+    train.preempt.PreemptionGuard) makes SIGTERM flush the pending results
+    and stop after the current batch — combined with --resume, a preempted
+    shard loses zero videos instead of up to ``flush_every``."""
     if output_folder:
         os.makedirs(output_folder, exist_ok=True)
     results = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
@@ -229,6 +233,21 @@ def inference_one_epoch(
         if bidx % print_freq == 0:
             rate = seen / max(time.time() - start, 1e-6)
             print(f"Infer: {seen} videos, {rate:.1f} videos/s")
+
+        # preemption: flush whatever is pending as a NUMBERED file (a later
+        # --resume counts numbered flushes) and stop. No cross-host agreement
+        # needed — inference hosts are independent (no collectives).
+        if preempt is not None and preempt.requested():
+            if output_folder and batch_results:
+                with open(os.path.join(output_folder,
+                                       f"data_left{seen_offset + seen}.json"),
+                          "w", encoding="utf-8") as f:
+                    json.dump(batch_results, f, ensure_ascii=False, indent=4)
+                batch_results = []
+            preempt.triggered = True
+            print(f"Infer: preemption requested — stopped after {seen} "
+                  f"videos (resume with --resume)")
+            break
 
     if output_folder and batch_results:
         with open(os.path.join(output_folder, "data_left.json"),

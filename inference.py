@@ -24,7 +24,7 @@ from audio_visual_deepfake_detection_tpu.infer.runner import (
     collate_streams, inference_one_epoch)
 from audio_visual_deepfake_detection_tpu.parallel import pad_batch_to
 from audio_visual_deepfake_detection_tpu.train import (
-    init_model, latest_epoch_path, restore_params)
+    PreemptionGuard, init_model, latest_epoch_path, restore_params)
 
 
 def collate_infer(samples, transfer_dtype=np.float32):
@@ -147,14 +147,22 @@ def main(args):
             yield pad_batch_to(batch, args.batch_size) \
                 if len(batch["video_ids"]) < args.batch_size else batch
 
+    # SIGTERM -> flush pending results after the current batch, exit 0;
+    # restart with --resume to finish the shard with zero redone videos
+    guard = PreemptionGuard()
+
     start = time.time()
     results, _ = inference_one_epoch(
         batches(), infer_fn, params, output_folder=out_folder,
         flush_every=args.flush_every, print_freq=args.print_freq,
-        seen_offset=len(done))
+        seen_offset=len(done), preempt=guard)
     total = time.time() - start
-    print(f"Shard {args.sub_index}: {len(dataset)} videos in {total:.1f}s "
-          f"({len(dataset)/max(total,1e-9):.1f} videos/s) -> {out_folder}")
+    if guard.triggered:
+        print(f"Shard {args.sub_index}: preempted after {total:.1f}s "
+              f"-> {out_folder} (restart with --resume)")
+    else:
+        print(f"Shard {args.sub_index}: {len(dataset)} videos in {total:.1f}s "
+              f"({len(dataset)/max(total,1e-9):.1f} videos/s) -> {out_folder}")
 
 
 if __name__ == "__main__":

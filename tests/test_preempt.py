@@ -158,3 +158,50 @@ def test_sigterm_through_train_cli(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_inference_preempt_flush(tmp_path):
+    """A preempted inference loop flushes pending items as a NUMBERED file
+    (so --resume counts them) and stops after the current batch."""
+    from audio_visual_deepfake_detection_tpu.infer.runner import (
+        inference_one_epoch)
+
+    guard = PreemptionGuard(signals=())
+    ran = []
+
+    def fake_infer(params, feats, mask, fps, dur, stride, nframes):
+        ran.append(1)
+        if len(ran) == 2:
+            guard.request()
+        b = feats.shape[0]
+        segs = np.tile(np.asarray([[1.0, 2.0]], np.float32), (b, 1, 1))
+        scores = np.full((b, 1), 0.9, np.float32)
+        cls_idx = np.zeros((b, 1), np.int64)
+        valid = np.ones((b, 1), bool)
+        video_cls = np.full((b, 1), 0.5, np.float32)
+        return segs, scores, cls_idx, valid, video_cls
+
+    def batches():
+        for k in range(5):
+            yield {
+                "feats": np.zeros((2, 8, 4), np.float32),
+                "mask": np.ones((2, 8), bool),
+                "fps": np.ones(2, np.float32),
+                "duration": np.ones(2, np.float32),
+                "feat_stride": np.ones(2, np.float32),
+                "feat_num_frames": np.ones(2, np.float32),
+                "video_ids": [f"v{2 * k}", f"v{2 * k + 1}"],
+            }
+
+    out = str(tmp_path / "shard")
+    _, items = inference_one_epoch(
+        batches(), fake_infer, None, output_folder=out, flush_every=1000,
+        seen_offset=7, preempt=guard)
+    assert guard.triggered
+    assert len(ran) == 2 and len(items) == 4  # stopped after batch 2 of 5
+    flushes = sorted(os.listdir(out))
+    assert flushes == ["data_left11.json"]  # numbered: offset 7 + 4 seen
+    import json as jsonlib
+    with open(os.path.join(out, flushes[0])) as f:
+        saved = jsonlib.load(f)
+    assert [it["video_id"] for it in saved] == ["v0", "v1", "v2", "v3"]
