@@ -73,6 +73,14 @@ def setup_jax(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # numerics tripwire (debug runs): AVDD_DEBUG_NANS=1 makes every jit
+    # re-run in eager on a NaN/Inf output and raise at the producing op —
+    # the TPU-side analogue of the reference's
+    # torch.use_deterministic_algorithms diagnosis posture
+    # (train_utils.py:22-40). Costs a device sync per op; never default-on.
+    if os.environ.get("AVDD_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
+
     # AVDD_FORCE_CPU=1 pins everything to host CPU (the axon TPU plugin
     # ignores the JAX_PLATFORMS env var, so an explicit escape hatch is
     # needed). Restrict the platform via jax.config BEFORE any backend

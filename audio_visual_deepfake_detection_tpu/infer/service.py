@@ -77,6 +77,7 @@ class LocalizerService:
                                np.ones((bk,), np.float32), np.ones((bk,), np.float32),
                                np.ones((bk,), np.float32))
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -84,6 +85,10 @@ class LocalizerService:
                feat_stride: float, feat_num_frames: Optional[float] = None,
                mask: Optional[np.ndarray] = None) -> Future:
         """Queue one video's (T, C) features; returns a Future[Detections]."""
+        if self._closed:
+            # a submit racing stop() would otherwise enqueue behind the
+            # shutdown sentinel and its future would never resolve
+            raise RuntimeError("LocalizerService is stopped")
         t = self.cfg.max_seq_len
         assert feats.shape[0] <= t, "sequence longer than max_seq_len"
         if mask is None:
@@ -169,5 +174,10 @@ class LocalizerService:
                     r.future.set_exception(e)
 
     def stop(self):
+        """Graceful drain: requests already queued are still answered; new
+        submits raise. Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=30)

@@ -271,3 +271,24 @@ def test_inference_resume(workspace, trained):
     _run(["generate_results.py", str(root / "runs_resume"), "--num-shards", "1"])
     pred = json.load(open(root / "runs_resume" / "prediction.json"))
     assert len(pred) == len(shard_ids)
+
+
+def test_debug_nans_knob():
+    """AVDD_DEBUG_NANS=1 turns a NaN produced under jit into an exception at
+    the producing op (subprocess: jax config flags are process-global)."""
+    code = (
+        "from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax\n"
+        "setup_jax()\n"
+        "import jax, jax.numpy as jnp\n"
+        "f = jax.jit(lambda x: jnp.log(x))\n"
+        "try:\n"
+        "    f(jnp.zeros(4) - 1.0).block_until_ready()\n"
+        "    print('NO-RAISE')\n"
+        "except FloatingPointError:\n"
+        "    print('CAUGHT')\n"
+    )
+    env = {**ENV, "AVDD_DEBUG_NANS": "1"}
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=240)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CAUGHT" in proc.stdout

@@ -124,3 +124,30 @@ def test_service_buckets_match_full_batch(rng):
     # different batch tiers compile different programs; XLA fusion ordering
     # differs at float-rounding level
     np.testing.assert_allclose(b.video_cls, a.video_cls, atol=1e-5)
+
+
+def test_service_stop_drains_and_rejects(rng):
+    """stop() answers everything already queued, is idempotent, and a submit
+    after stop raises instead of hanging forever."""
+    import pytest
+
+    cfg = ArchConfig(
+        variant="av_recovery_norecon", input_dim=24, num_classes=1,
+        max_seq_len=96, embd_dim=32, fpn_dim=32, head_dim=32, n_head=2,
+        arch=(1, 1, 2), mha_win_size=(5, 5, -1),
+        regression_range=((0, 4), (4, 8), (8, 10000)), droppath=0.1,
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.001, pre_nms_topk=2000, min_score=0.001,
+                      max_seg_num=10, nms_method="soft", nms_sigma=0.75,
+                      duration_thresh=0.001, multiclass_nms=False,
+                      voting_thresh=0.9)
+    params, _ = init_model(cfg, 2, 0)
+    service = LocalizerService(cfg, tcfg, params, batch_size=2, max_wait_ms=5)
+    futs = [service.submit(rng.standard_normal((96, 24)).astype(np.float32),
+                           25.0, 3.8, 0.3) for _ in range(3)]
+    service.stop()
+    for f in futs:  # queued before stop -> still answered
+        assert f.result(timeout=300).segments.ndim == 2
+    service.stop()  # idempotent
+    with pytest.raises(RuntimeError, match="stopped"):
+        service.submit(np.zeros((96, 24), np.float32), 25.0, 3.8, 0.3)
