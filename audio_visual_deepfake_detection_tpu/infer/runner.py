@@ -25,6 +25,7 @@ import numpy as np
 from ..models.meta_arch import ArchConfig, AVLocalizer
 from ..models.points import generate_points
 from .decode import TestConfig, decode_and_postprocess
+from .resume import atomic_write_json
 
 
 def build_inference_fn(cfg: ArchConfig, test_cfg: TestConfig):
@@ -224,10 +225,10 @@ def inference_one_epoch(
         seen += len(items)
 
         if output_folder and seen - flushed >= flush_every:
-            with open(os.path.join(output_folder,
-                                   f"data_left{seen_offset + seen}.json"),
-                      "w", encoding="utf-8") as f:
-                json.dump(batch_results, f, ensure_ascii=False, indent=4)
+            atomic_write_json(
+                os.path.join(output_folder,
+                             f"data_left{seen_offset + seen}.json"),
+                batch_results)
             batch_results = []
             flushed = seen
         if bidx % print_freq == 0:
@@ -239,10 +240,10 @@ def inference_one_epoch(
         # needed — inference hosts are independent (no collectives).
         if preempt is not None and preempt.requested():
             if output_folder and batch_results:
-                with open(os.path.join(output_folder,
-                                       f"data_left{seen_offset + seen}.json"),
-                          "w", encoding="utf-8") as f:
-                    json.dump(batch_results, f, ensure_ascii=False, indent=4)
+                atomic_write_json(
+                    os.path.join(output_folder,
+                                 f"data_left{seen_offset + seen}.json"),
+                    batch_results)
                 batch_results = []
             preempt.triggered = True
             print(f"Infer: preemption requested — stopped after {seen} "
@@ -250,9 +251,8 @@ def inference_one_epoch(
             break
 
     if output_folder and batch_results:
-        with open(os.path.join(output_folder, "data_left.json"),
-                  "w", encoding="utf-8") as f:
-            json.dump(batch_results, f, ensure_ascii=False, indent=4)
+        atomic_write_json(os.path.join(output_folder, "data_left.json"),
+                          batch_results)
 
     for key in ("t-start", "t-end", "label", "score"):
         results[key] = (np.concatenate(results[key])

@@ -19,6 +19,7 @@ setup_jax()
 from audio_visual_deepfake_detection_tpu.core import (
     arch_config_from, load_config, test_config_from)
 from audio_visual_deepfake_detection_tpu.data import DeepfakeInferenceDataset, DataLoader
+from audio_visual_deepfake_detection_tpu.infer.resume import plan_host_share
 from audio_visual_deepfake_detection_tpu.infer.runner import (
     build_inference_fn, build_online_inference_fn, collate_infer_varlen,
     collate_streams, inference_one_epoch)
@@ -93,14 +94,14 @@ def main(args):
             return collate_infer(samples, transfer_dtype)
 
     # Multi-host: inference is embarrassingly parallel — each host takes a
-    # strided slice of the shard list and runs independently on its local
+    # strided slice of the shard list (applied to dataset.data_list below,
+    # so --resume composes correctly) and runs independently on its local
     # devices (no collectives); outputs land in per-host subfolders that
     # generate_results merges (the reference's manual 7-shard split,
     # automated one level further down).
     loader = DataLoader(dataset, args.batch_size, collate,
                         shuffle=False, drop_last=False,
-                        num_workers=config["loader"]["num_workers"],
-                        shard_rank=PROC_ID, num_shards=NUM_PROCS)
+                        num_workers=config["loader"]["num_workers"])
 
     params, _ = init_model(cfg, 1, config["init_rand_seed"])
     params = restore_params(ckpt, params, use_ema=True)  # EMA weights (inference.py:74-76)
@@ -116,31 +117,19 @@ def main(args):
         out_folder = os.path.join(out_folder, f"host{PROC_ID}")
     os.makedirs(out_folder, exist_ok=True)
 
-    # --resume: a shard killed mid-sweep restarts from its periodic flushes
-    # instead of redoing the whole shard (the reference rides this exact
-    # manual loop across 343k videos / 7 shards with no recovery at all).
-    done = set()
+    # Host sharding + --resume: each host takes its strided share of the
+    # shard FIRST, then (when resuming) drops the videos its own folder
+    # already flushed — filter-then-stride would reassign videos across
+    # hosts (duplicates + silently missing videos in the merged submission).
+    # A shard killed mid-sweep restarts from its periodic flushes instead of
+    # redoing everything (the reference rides this exact manual loop across
+    # 343k videos / 7 shards with no recovery at all).
+    before = (len(dataset) + NUM_PROCS - 1 - PROC_ID) // NUM_PROCS
+    dataset.data_list, done = plan_host_share(
+        dataset.data_list, PROC_ID, NUM_PROCS, out_folder, args.resume)
     if args.resume:
-        import glob
-        import json
-        for path in sorted(glob.glob(os.path.join(out_folder, "data*.json"))):
-            with open(path, encoding="utf-8") as f:
-                for item in json.load(f):
-                    done.add(item["video_id"])
-        # an unnumbered final flush from a previous (completed or resumed)
-        # run would be overwritten by this run's final flush — renumber it
-        final = os.path.join(out_folder, "data_left.json")
-        if os.path.exists(final):
-            part = 0
-            while os.path.exists(os.path.join(out_folder, f"data_left_part{part}.json")):
-                part += 1
-            os.rename(final, os.path.join(out_folder, f"data_left_part{part}.json"))
-        if done:
-            before = len(dataset)
-            dataset.data_list = [it for it in dataset.data_list
-                                 if it["id"] not in done]
-            print(f"Resume: {before - len(dataset)}/{before} videos already "
-                  f"flushed, {len(dataset)} to go")
+        print(f"Resume: {before - len(dataset)}/{before} of this host's "
+              f"videos already flushed, {len(dataset)} to go")
 
     def batches():
         for batch in loader:

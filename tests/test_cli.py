@@ -246,7 +246,8 @@ def test_inference_resume(workspace, trained):
 
     proc = _run(["inference.py", str(cfg2), "1", "--ckpt", trained,
                  "--batch-size", "4", "--flush-every", "4", "--resume"])
-    assert f"Resume: 3/{len(shard_ids)} videos already flushed" in proc.stdout
+    assert f"Resume: 3/{len(shard_ids)} of this host's videos already " \
+           f"flushed" in proc.stdout
 
     files = {os.path.basename(p) for p in glob.glob(str(out_dir / "data*.json"))}
     assert "data_left_part0.json" in files  # renumbered, not overwritten

@@ -1,0 +1,77 @@
+"""Shard-resume planning (infer/resume.py): multi-host share/filter ordering,
+stale-final renumbering, atomic flush writes."""
+
+import json
+import os
+
+from audio_visual_deepfake_detection_tpu.infer.resume import (
+    atomic_write_json, collect_done, plan_host_share,
+)
+
+
+def _items(ids):
+    return [{"id": v, "duration": 1.0} for v in ids]
+
+
+def _flush(folder, name, ids):
+    os.makedirs(folder, exist_ok=True)
+    with open(os.path.join(folder, name), "w") as f:
+        json.dump([{"video_id": v} for v in ids], f)
+
+
+def test_multihost_resume_covers_all_videos_once(tmp_path):
+    """The review scenario: hosts flushed different subsets before dying; the
+    resumed hosts' work lists must union to exactly the missing videos with
+    no overlap (stride-then-filter, never filter-then-stride)."""
+    ids = ["a", "b", "c", "d", "e", "f"]
+    # original assignment: host0 [a,c,e], host1 [b,d,f]
+    _flush(str(tmp_path / "h0"), "data_left2.json", ["a", "c"])
+    _flush(str(tmp_path / "h1"), "data_left1.json", ["b"])
+
+    w0, d0 = plan_host_share(_items(ids), 0, 2, str(tmp_path / "h0"), True)
+    w1, d1 = plan_host_share(_items(ids), 1, 2, str(tmp_path / "h1"), True)
+    todo0 = [it["id"] for it in w0]
+    todo1 = [it["id"] for it in w1]
+    assert todo0 == ["e"]
+    assert todo1 == ["d", "f"]
+    assert d0 == {"a", "c"} and d1 == {"b"}
+    # union(done, todo) covers the shard exactly once
+    assert sorted(todo0 + todo1 + sorted(d0 | d1)) == sorted(ids)
+
+
+def test_plan_matches_loader_stride_without_resume(tmp_path):
+    """Host shares must equal the DataLoader's historical strided order so a
+    resumed run agrees with what the original (loader-sharded) run did."""
+    import numpy as np
+
+    ids = [f"v{i}" for i in range(7)]
+    for nprocs in (1, 2, 3):
+        shares = []
+        for rank in range(nprocs):
+            w, _ = plan_host_share(_items(ids), rank, nprocs,
+                                   str(tmp_path / f"x{rank}"), False)
+            shares.append([it["id"] for it in w])
+            order = np.arange(len(ids))[rank::nprocs]  # loader.py:_shard_order
+            assert shares[-1] == [ids[i] for i in order]
+        assert sorted(sum(shares, [])) == sorted(ids)
+
+
+def test_collect_done_renumbers_stale_final(tmp_path):
+    folder = str(tmp_path / "s")
+    _flush(folder, "data_left2.json", ["a", "b"])
+    _flush(folder, "data_left.json", ["c"])
+    _flush(folder, "data_left_part0.json", ["d"])
+    done = collect_done(folder)
+    assert done == {"a", "b", "c", "d"}
+    names = sorted(os.listdir(folder))
+    assert "data_left.json" not in names
+    assert "data_left_part1.json" in names  # renumbered past the existing part
+
+
+def test_atomic_write_json(tmp_path):
+    path = str(tmp_path / "out.json")
+    atomic_write_json(path, [{"video_id": "a"}])
+    atomic_write_json(path, [{"video_id": "b"}])  # overwrite is atomic too
+    with open(path) as f:
+        assert json.load(f) == [{"video_id": "b"}]
+    assert not os.path.exists(path + ".tmp")
