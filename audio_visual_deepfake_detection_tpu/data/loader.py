@@ -47,9 +47,17 @@ class DataLoader:
         self.shard_rank = shard_rank
         self.num_shards = max(1, num_shards)
         self._epoch = 0
+        self._skip = 0
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
+
+    def set_skip(self, n: int):
+        """Skip the first ``n`` batches of the NEXT iteration only (mid-epoch
+        resume). Skipped batches are never loaded or collated, but their
+        per-sample rng draws ARE still consumed, so the remaining stream is
+        bit-identical to the tail of an unskipped run."""
+        self._skip = n
 
     def _shard_order(self):
         order = np.arange(len(self.dataset))
@@ -77,14 +85,20 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         rng_root = np.random.default_rng((self.seed + self._epoch) * 7919 + 13)
+        skip_batches = self._skip  # one-shot, consumed by this iteration
+        self._skip = 0
 
         def produce():
             # an exception anywhere in the producer must reach the consumer,
             # otherwise the main thread blocks on out_q.get() forever
             try:
+                skip = skip_batches
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in self._batches():
                         seeds = rng_root.integers(0, 2**63, size=len(batch_idx))
+                        if skip > 0:
+                            skip -= 1
+                            continue
                         futures = [
                             pool.submit(self.dataset.__getitem__, int(i),
                                         np.random.default_rng(int(s)))

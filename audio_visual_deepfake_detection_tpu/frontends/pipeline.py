@@ -33,6 +33,14 @@ class FrontendParams:
     emotion: Dict
 
 
+# stream key -> cache subdirectory, the on-disk layout the dataset configs
+# point at (align_video/content_audio/emotion_audio, matching the
+# reference's three extractor output trees). extract_features.py's
+# skip-existing check imports this so the mapping cannot drift.
+CACHE_DIR_NAMES = {"video": "align_video", "byola": "content_audio",
+                   "emotion": "emotion_audio"}
+
+
 class FeatureExtractor:
     """Batched jit feature extraction for all three streams."""
 
@@ -178,9 +186,12 @@ class FeatureExtractor:
     def extract_to_cache(self, mp4_path: str, wav_path: Optional[str],
                          cache_root: str, rel_npy: str) -> None:
         feats = self.extract_all(mp4_path, wav_path)
-        names = {"video": "align_video", "byola": "content_audio",
-                 "emotion": "emotion_audio"}
         for key, arr in feats.items():
-            path = os.path.join(cache_root, names[key], rel_npy)
+            path = os.path.join(cache_root, CACHE_DIR_NAMES[key], rel_npy)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.save(path, arr.astype(np.float32))
+            # tmp + rename: a kill mid-write must never leave a truncated
+            # .npy that skip-existing would then trust forever
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, arr.astype(np.float32))
+            os.replace(tmp, path)

@@ -78,6 +78,10 @@ class LocalizerService:
                                np.ones((bk,), np.float32))
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        # serializes the closed-check+enqueue in submit against stop()'s
+        # set-closed+sentinel — without it a racing submit can land behind
+        # the sentinel and its future never resolves
+        self._close_lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -85,10 +89,6 @@ class LocalizerService:
                feat_stride: float, feat_num_frames: Optional[float] = None,
                mask: Optional[np.ndarray] = None) -> Future:
         """Queue one video's (T, C) features; returns a Future[Detections]."""
-        if self._closed:
-            # a submit racing stop() would otherwise enqueue behind the
-            # shutdown sentinel and its future would never resolve
-            raise RuntimeError("LocalizerService is stopped")
         t = self.cfg.max_seq_len
         assert feats.shape[0] <= t, "sequence longer than max_seq_len"
         if mask is None:
@@ -98,8 +98,11 @@ class LocalizerService:
                 [feats, np.zeros((t - feats.shape[0],) + feats.shape[1:],
                                  feats.dtype)])
         fut: Future = Future()
-        self._queue.put(_Request(feats, mask, fps, duration, feat_stride,
-                                 feat_num_frames or feat_stride, fut))
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("LocalizerService is stopped")
+            self._queue.put(_Request(feats, mask, fps, duration, feat_stride,
+                                     feat_num_frames or feat_stride, fut))
         return fut
 
     def submit_streams(self, streams: List[np.ndarray],
@@ -176,8 +179,9 @@ class LocalizerService:
     def stop(self):
         """Graceful drain: requests already queued are still answered; new
         submits raise. Idempotent."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # FIFO: lands after every accepted request
         self._thread.join(timeout=30)

@@ -35,10 +35,15 @@ def _checkpointer():
 
 
 def save_checkpoint(folder: str, epoch: int, state, is_best: bool = False,
-                    tag: Optional[str] = None):
+                    tag: Optional[str] = None, next_iter: int = 0):
+    """``epoch``/``next_iter``: where training resumes — the epoch to run
+    next and the first iteration index within it (0 = epoch start; a
+    preemption checkpoint saves the epoch in progress + the next iteration,
+    so no data is skipped or redone on resume)."""
     os.makedirs(folder, exist_ok=True)
     payload = {
         "epoch": epoch,
+        "next_iter": next_iter,
         "step": state.step,
         "params": state.params,
         "ema_params": state.ema_params,
@@ -55,9 +60,13 @@ def save_checkpoint(folder: str, epoch: int, state, is_best: bool = False,
 
 
 def restore_checkpoint(path: str, state):
-    """Restore into an existing TrainState template (shapes must match)."""
+    """Restore into an existing TrainState template (shapes must match).
+    Returns (state, epoch, next_iter) — resume at that epoch, skipping its
+    first ``next_iter`` iterations (0 for epoch-boundary checkpoints and for
+    checkpoints written before the field existed)."""
     template = {
         "epoch": 0,
+        "next_iter": 0,
         "step": state.step,
         "params": state.params,
         "ema_params": state.ema_params,
@@ -65,7 +74,12 @@ def restore_checkpoint(path: str, state):
         "loss_normalizer": state.loss_normalizer,
         "rng": state.rng,
     }
-    restored = _checkpointer().restore(os.path.abspath(path), item=template)
+    try:
+        restored = _checkpointer().restore(os.path.abspath(path), item=template)
+    except Exception:
+        # pre-next_iter checkpoint layout
+        del template["next_iter"]
+        restored = _checkpointer().restore(os.path.abspath(path), item=template)
     new_state = state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -74,7 +88,7 @@ def restore_checkpoint(path: str, state):
         loss_normalizer=restored["loss_normalizer"],
         rng=restored["rng"],
     )
-    return new_state, int(restored["epoch"])
+    return new_state, int(restored["epoch"]), int(restored.get("next_iter", 0))
 
 
 def restore_params(path: str, params_template, use_ema: bool = True):

@@ -17,7 +17,8 @@ import numpy as np
 from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
 setup_jax()
 
-from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtractor
+from audio_visual_deepfake_detection_tpu.frontends.pipeline import (
+    CACHE_DIR_NAMES, FeatureExtractor)
 
 
 def main(args):
@@ -33,7 +34,7 @@ def main(args):
                                  video_chunk=args.video_chunk)
     errors = []
     skipped = 0
-    cache_names = ("align_video", "content_audio", "emotion_audio")
+    cache_names = tuple(CACHE_DIR_NAMES.values())
     for i, rel in enumerate(rels):
         mp4 = os.path.join(args.video_root, rel)
         wav = os.path.join(args.wav_root, rel.replace(".mp4", ".wav")) \

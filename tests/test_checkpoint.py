@@ -28,8 +28,8 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 
     # full state restore resumes exactly
     fresh = TrainState.create(params, tx, 200, prng)
-    restored, epoch = restore_checkpoint(latest_epoch_path(folder), fresh)
-    assert epoch == 2
+    restored, epoch, next_iter = restore_checkpoint(latest_epoch_path(folder), fresh)
+    assert epoch == 2 and next_iter == 0
     assert int(restored.step) == 2
     a = jax.tree_util.tree_leaves(restored.params)
     b = jax.tree_util.tree_leaves(state.params)

@@ -65,13 +65,14 @@ def test_guard_loop_checkpoint_and_resume(rng, tmp_path):
     # polled every 2 iters; request at step 3 (iter_idx 2) -> exits after
     # iter_idx 3, i.e. 4 of 8 steps ran
     assert len(calls) == 4
-    ckpts = glob.glob(os.path.join(folder, "preempt_epoch_001_iter*"))
+    ckpts = glob.glob(os.path.join(folder, "preempt_epoch_000_iter*"))
     assert len(ckpts) == 1
 
-    # resume restores the exact stopped state
+    # resume restores the exact stopped state AND the exact position:
+    # epoch 0 is still in progress, next iteration is 4
     fresh, _ = make_state(cfg)
-    restored, epoch = restore_checkpoint(ckpts[0], fresh)
-    assert epoch == 1
+    restored, epoch, next_iter = restore_checkpoint(ckpts[0], fresh)
+    assert epoch == 0 and next_iter == 4
     assert int(restored.step) == int(out.step) == 4
     a = jax.tree_util.tree_leaves(jax.device_get(out.params))
     b = jax.tree_util.tree_leaves(restored.params)
@@ -205,3 +206,73 @@ def test_inference_preempt_flush(tmp_path):
     with open(os.path.join(out, flushes[0])) as f:
         saved = jsonlib.load(f)
     assert [it["video_id"] for it in saved] == ["v0", "v1", "v2", "v3"]
+
+
+def test_preempt_resume_matches_uninterrupted_run(rng, tmp_path):
+    """Exact-iteration resume: preempt mid-epoch, restore, finish the epoch
+    with start_iter — final state is bit-identical to an uninterrupted run
+    (nothing skipped, nothing redone)."""
+    import jax
+
+    cfg = tiny_cfg()
+    step_fn = jax.jit(build_train_step(cfg, TRAIN_CFG))
+    batches = [make_batch(rng, 2, cfg) for _ in range(6)]
+
+    # reference: one uninterrupted epoch
+    state0, _ = make_state(cfg)
+    ref = train_one_epoch(FakeLoader(batches), state0, step_fn, curr_epoch=0,
+                          print_freq=100)
+
+    # preempted run: request lands during step 3, poll every 2 -> stops after
+    # iter 3 (4 steps), checkpoint says (epoch 0, next_iter 4)
+    guard = PreemptionGuard(signals=())
+    calls = []
+
+    def counting_step(s, b):
+        calls.append(1)
+        if len(calls) == 3:
+            guard.request()
+        return step_fn(s, b)
+
+    state1, _ = make_state(cfg)
+    folder = str(tmp_path / "ck")
+    train_one_epoch(FakeLoader(batches), state1, counting_step, curr_epoch=0,
+                    print_freq=100, ckpt_folder=folder, preempt=guard,
+                    preempt_check_every=2)
+    ckpt = glob.glob(os.path.join(folder, "preempt_epoch_000_iter*"))[0]
+
+    fresh, _ = make_state(cfg)
+    restored, epoch, next_iter = restore_checkpoint(ckpt, fresh)
+    assert (epoch, next_iter) == (0, 4)
+    resumed = train_one_epoch(FakeLoader(batches), restored, step_fn,
+                              curr_epoch=epoch, print_freq=100,
+                              start_iter=next_iter)
+    assert int(resumed.step) == int(ref.step) == 6
+    a = jax.tree_util.tree_leaves(jax.device_get(ref.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(resumed.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_preempt_end_of_epoch_poll(rng, tmp_path):
+    """A signal that lands when the cadence never fires again (fewer iters
+    than preempt_check_every) is still honored at the epoch boundary."""
+    import jax
+
+    cfg = tiny_cfg()
+    step_fn = jax.jit(build_train_step(cfg, TRAIN_CFG))
+    batches = [make_batch(rng, 2, cfg) for _ in range(3)]
+    state, _ = make_state(cfg)
+
+    guard = PreemptionGuard(signals=())
+    guard.request()  # lands before/early in the epoch
+    folder = str(tmp_path / "ck")
+    train_one_epoch(FakeLoader(batches), state, step_fn, curr_epoch=0,
+                    print_freq=100, ckpt_folder=folder, preempt=guard,
+                    preempt_check_every=100)  # cadence never fires (3 iters)
+    assert guard.triggered
+    ckpts = glob.glob(os.path.join(folder, "preempt_epoch_000_iter3"))
+    assert len(ckpts) == 1
+    fresh, _ = make_state(cfg)
+    _, epoch, next_iter = restore_checkpoint(ckpts[0], fresh)
+    assert (epoch, next_iter) == (1, 0)  # epoch completed -> resume at next

@@ -75,3 +75,39 @@ def test_atomic_write_json(tmp_path):
     with open(path) as f:
         assert json.load(f) == [{"video_id": "b"}]
     assert not os.path.exists(path + ".tmp")
+
+
+def test_loader_set_skip_preserves_stream(tmp_path):
+    """set_skip(k) yields exactly the unskipped run's batches k..end,
+    including the per-sample rng draws (the seeds of skipped batches are
+    consumed, not reassigned)."""
+    from audio_visual_deepfake_detection_tpu.data.loader import DataLoader
+
+    class RngDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, idx, rng=None):
+            return {"idx": idx, "draw": int(rng.integers(0, 2**31))}
+
+    def collate(samples):
+        return [(s["idx"], s["draw"]) for s in samples]
+
+    def run(skip):
+        loader = DataLoader(RngDataset(), 2, collate, shuffle=True,
+                            num_workers=2, seed=7)
+        loader.set_epoch(3)
+        if skip:
+            loader.set_skip(skip)
+        return [b for b in loader]
+
+    full = run(0)
+    assert len(full) == 5
+    assert run(2) == full[2:]
+    # one-shot: the next plain iteration is complete again
+    loader = DataLoader(RngDataset(), 2, collate, shuffle=True,
+                        num_workers=2, seed=7)
+    loader.set_epoch(3)
+    loader.set_skip(4)
+    assert [b for b in loader] == full[4:]
+    assert [b for b in loader] == full

@@ -115,9 +115,11 @@ def main(args):
     state = TrainState.create(params, tx, config["train_cfg"]["init_loss_norm"], rng)
 
     start_epoch = 0
+    start_iter = 0
     if args.resume:
-        state, start_epoch = restore_checkpoint(args.resume, state)
-        print(f"Resumed from {args.resume} at epoch {start_epoch}")
+        state, start_epoch, start_iter = restore_checkpoint(args.resume, state)
+        print(f"Resumed from {args.resume} at epoch {start_epoch}"
+              + (f" iter {start_iter}" if start_iter else ""))
 
     state = replicate_tree(mesh, state)
     train_step = jax.jit(
@@ -141,7 +143,8 @@ def main(args):
             ckpt_every_iters=args.ckpt_iter_freq if PROC_ID == 0 else 0,
             ckpt_folder=os.path.join(out_folder, "iters_ckpt"),
             batch_size=local_batch,
-            preempt=guard, preempt_check_every=args.print_freq)
+            preempt=guard, preempt_check_every=args.print_freq,
+            start_iter=start_iter if epoch == start_epoch else 0)
         if guard.triggered:
             break
         if PROC_ID == 0 and ((epoch == max_epochs - 1)
