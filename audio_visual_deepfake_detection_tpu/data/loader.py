@@ -31,11 +31,19 @@ class DataLoader:
         prefetch: int = 2,
         shard_rank: int = 0,
         num_shards: int = 1,
+        equal_shards: bool = False,
     ):
         """``shard_rank``/``num_shards``: multi-host data sharding — every
         host draws the SAME seeded epoch permutation and keeps its strided
         slice, so the global batch is a disjoint cover (the reference's
-        manual shard txt files, generalized)."""
+        manual shard txt files, generalized).
+
+        ``equal_shards``: truncate every host's slice to the shortest one
+        (``len(dataset) // num_shards``). REQUIRED for training: per-host
+        slices differing by one item can give one host an extra batch, and a
+        host still issuing train-step collectives after its peers stopped
+        deadlocks the clique. Inference (no collectives, must not drop
+        videos) leaves it off."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -46,6 +54,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_rank = shard_rank
         self.num_shards = max(1, num_shards)
+        self.equal_shards = equal_shards
         self._epoch = 0
         self._skip = 0
 
@@ -66,6 +75,8 @@ class DataLoader:
             rng.shuffle(order)
         if self.num_shards > 1:
             order = order[self.shard_rank::self.num_shards]
+            if self.equal_shards:
+                order = order[:len(self.dataset) // self.num_shards]
         return order
 
     def __len__(self) -> int:

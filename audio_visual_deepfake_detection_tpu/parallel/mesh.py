@@ -29,6 +29,14 @@ def make_mesh(dp_size: int = -1, devices=None) -> Mesh:
             devices = jax.devices()
     if dp_size is None or dp_size <= 0:
         dp_size = len(devices)
+    if jax.process_count() > 1 and dp_size != len(devices):
+        # a mesh not spanning every process's devices breaks multi-host
+        # global-array assembly with an inscrutable shard error later;
+        # fail at setup with the actual fix instead
+        raise ValueError(
+            f"multi-host run ({jax.process_count()} processes): tpu.dp_size "
+            f"must be -1 or the GLOBAL device count {len(devices)}, got "
+            f"{dp_size}")
     devices = np.asarray(devices[:dp_size])
     return Mesh(devices, axis_names=(DATA_AXIS,))
 

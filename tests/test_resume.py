@@ -111,3 +111,45 @@ def test_loader_set_skip_preserves_stream(tmp_path):
     loader.set_skip(4)
     assert [b for b in loader] == full[4:]
     assert [b for b in loader] == full
+
+
+def test_loader_equal_shards_aligns_batch_counts():
+    """equal_shards trims every host's slice to the shortest so all hosts run
+    the SAME number of train batches (a host with one extra batch would
+    issue collectives its peers never join). Inference default keeps every
+    item."""
+    from audio_visual_deepfake_detection_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, idx, rng=None):
+            return idx
+
+    collate = list
+    # 15 items / 2 hosts / batch 8 with drop_last: host0 gets 8 -> 1 batch,
+    # host1 gets 7 -> 0 batches — desynced without equal_shards
+    counts = []
+    for rank in (0, 1):
+        loader = DataLoader(Ds(15), 8, collate, shuffle=True, drop_last=True,
+                            num_workers=1, seed=3, shard_rank=rank,
+                            num_shards=2)
+        counts.append(len(loader))
+    assert counts == [1, 0]  # the hazard, preserved for inference semantics
+
+    eq_counts, eq_items = [], []
+    for rank in (0, 1):
+        loader = DataLoader(Ds(15), 3, collate, shuffle=True, drop_last=True,
+                            num_workers=1, seed=3, shard_rank=rank,
+                            num_shards=2, equal_shards=True)
+        eq_counts.append(len(loader))
+        got = []
+        for b in loader:
+            got.extend(b)
+        eq_items.append(got)
+    assert eq_counts == [2, 2]  # 7 items each -> 2 batches each
+    assert set(eq_items[0]).isdisjoint(eq_items[1])

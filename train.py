@@ -100,7 +100,7 @@ def main(args):
         dataset, local_batch, collate, shuffle=True, drop_last=True,
         num_workers=config["loader"]["num_workers"] * n_dev, seed=seed,
         prefetch=config["tpu"]["prefetch"],
-        shard_rank=PROC_ID, num_shards=NUM_PROCS)
+        shard_rank=PROC_ID, num_shards=NUM_PROCS, equal_shards=True)
 
     cfg = arch_config_from(config)
     params, rng = init_model(cfg, batch_size, seed)
