@@ -255,6 +255,8 @@ class MediaPipeline:
     def batches(self, items: Sequence[MediaItem]):
         """Yield collated localizer batches with decode running ahead on
         background threads (host-decode/device-compute overlap)."""
+        if not items:  # e.g. a resumed sweep with nothing left to do
+            return
         caps = self.caps or self._default_caps(items)
         groups = [list(items[i:i + self.batch_size])
                   for i in range(0, len(items), self.batch_size)]
@@ -269,15 +271,38 @@ class MediaPipeline:
                 yield self._collate(self._extract_batch(decoded), caps)
 
     def run(self, items: Sequence[MediaItem], output_folder: Optional[str] = None,
-            print_freq: int = 50):
+            print_freq: int = 50, flush_every: int = 5000,
+            seen_offset: int = 0, preempt=None):
         """Full sweep. Returns (flat prediction table, result items)."""
         start = time.time()
         results, all_items = inference_one_epoch(
             self.batches(items), self._infer_fn, self.localizer_params,
-            output_folder=output_folder, print_freq=print_freq)
+            output_folder=output_folder, print_freq=print_freq,
+            flush_every=flush_every, seen_offset=seen_offset, preempt=preempt)
         self.stats["wall_s"] = time.time() - start
         self.stats["videos_per_s"] = len(items) / self.stats["wall_s"]
         return results, all_items
+
+
+def items_to_table(result_items: Sequence[dict]) -> Dict[str, np.ndarray]:
+    """Rebuild the flat prediction table (the evaluator's input) from
+    result-item dicts — used when a resumed sweep merges flushed items."""
+    results = {"video-id": [], "t-start": [], "t-end": [], "label": [],
+               "score": []}
+    for it in result_items:
+        scores = np.asarray(it["scores"], np.float64)
+        if len(scores) == 0:
+            continue
+        segs = np.asarray(it["segments"], np.float64).reshape(-1, 2)
+        results["video-id"].extend([it["video_id"]] * len(scores))
+        results["t-start"].append(segs[:, 0])
+        results["t-end"].append(segs[:, 1])
+        results["label"].append(np.zeros(len(scores), np.int64))
+        results["score"].append(scores)
+    for key in ("t-start", "t-end", "label", "score"):
+        results[key] = (np.concatenate(results[key])
+                        if results[key] else np.zeros((0,)))
+    return results
 
 
 def run_media_pipeline(
@@ -286,6 +311,9 @@ def run_media_pipeline(
     out_dir: str,
     gt_records: Optional[Sequence[dict]] = None,
     verbose: bool = True,
+    resume: bool = False,
+    preempt=None,
+    flush_every: int = 5000,
 ):
     """items -> submission files (+ mAP when GT is provided).
 
@@ -293,17 +321,52 @@ def run_media_pipeline(
     cells 1-2 semantics incl. the 0.9 prob clamp, 0.2 score filter and
     [[0,0,0]] sentinel) and, with GT, ``eval_proposals.json`` + challenge
     average mAP at tIoU {0.5, 0.75, 0.9, 0.95}.
+
+    Restartability: detections flush to ``out_dir`` every ``flush_every``
+    videos; ``resume=True`` skips videos already flushed and merges their
+    items back into the submission. ``preempt`` (train.preempt
+    PreemptionGuard) stops cleanly after the in-flight batch — a preempted
+    sweep writes no (incomplete) submission, just its flushes.
     """
+    import json as jsonlib
+
     from ..eval.challenge import run_evaluation
+    from ..infer.resume import collect_done
     from ..infer.results import (write_segment_predictions,
                                  write_video_predictions)
 
     os.makedirs(out_dir, exist_ok=True)
-    results, result_items = pipeline.run(items, output_folder=None)
+    done_items: List[dict] = []
+    if resume:
+        done_ids = collect_done(out_dir)
+        if done_ids:
+            done_items = [
+                it
+                for path in sorted(glob.glob(os.path.join(out_dir, "data*.json")))
+                for it in jsonlib.load(open(path, encoding="utf-8"))]
+            items = [it for it in items if it.video_id not in done_ids]
+            if verbose:
+                print(f"Resume: {len(done_items)} videos already flushed, "
+                      f"{len(items)} to go")
+
+    results, new_items = pipeline.run(
+        items, output_folder=out_dir, flush_every=flush_every,
+        seen_offset=len(done_items), preempt=preempt)
+    result_items = done_items + new_items
+
+    summary = {"num_videos": len(items) + len(done_items), **pipeline.stats}
+    if preempt is not None and preempt.triggered:
+        # incomplete sweep: progress lives in the flushes; no partial
+        # submission that could be mistaken for a full one
+        summary["preempted"] = True
+        summary["videos_done"] = len(result_items)
+        return summary, result_items
+
     write_video_predictions(result_items, os.path.join(out_dir, "prediction.txt"))
     write_segment_predictions(result_items, os.path.join(out_dir, "prediction.json"))
 
-    summary = {"num_videos": len(items), **pipeline.stats}
+    if done_items:
+        results = items_to_table(result_items)
     if gt_records is not None and len(results["video-id"]) > 0:
         flat = {k: np.asarray(v) for k, v in results.items()}
         mAP, _ = run_evaluation(

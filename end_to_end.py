@@ -28,7 +28,7 @@ from audio_visual_deepfake_detection_tpu.frontends.pipeline import FeatureExtrac
 from audio_visual_deepfake_detection_tpu.pipeline import (
     MediaPipeline, discover_media, run_media_pipeline)
 from audio_visual_deepfake_detection_tpu.train import (
-    init_model, latest_epoch_path, restore_params)
+    PreemptionGuard, init_model, latest_epoch_path, restore_params)
 
 
 def main(args):
@@ -63,9 +63,18 @@ def main(args):
         ds_feat_stride=float(ds.get("feat_stride", 1)),
         ds_num_frames=float(ds.get("num_frames", 1)),
         batch_size=args.batch_size)
+    # SIGTERM -> finish the in-flight batch, flush, exit 0; restart with
+    # --resume to finish the sweep with no video redone
+    guard = PreemptionGuard()
     summary, _ = run_media_pipeline(items, pipeline, args.output,
-                                    gt_records=gt_records)
+                                    gt_records=gt_records, resume=args.resume,
+                                    preempt=guard,
+                                    flush_every=args.flush_every)
     print(json.dumps(summary))
+    if summary.get("preempted"):
+        print(f"Preempted after {summary['videos_done']} videos "
+              f"(restart with --resume)")
+        return
     with open(os.path.join(args.output, "e2e_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
@@ -85,6 +94,10 @@ if __name__ == "__main__":
     parser.add_argument("--output", default="runs/e2e")
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--flush-every", type=int, default=5000)
+    parser.add_argument("--resume", action="store_true",
+                        help="skip videos already present in the output "
+                             "folder's data*.json flushes")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--video-encoder", default="c3d",
                         choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"])

@@ -230,3 +230,47 @@ def test_e2e_learns_on_real_media(tmp_path):
         in_memory, pipe_trained, str(tmp_path / "out"),
         gt_records=gt_records, verbose=False)
     assert summary["average_mAP"] > 0.3, summary
+
+
+def test_media_pipeline_preempt_and_resume(rng, tmp_path):
+    """Preempt the sweep mid-run, then --resume semantics finish it: the
+    merged submission equals an uninterrupted run's exactly, and the
+    preempted run writes no partial prediction files."""
+    from audio_visual_deepfake_detection_tpu.train import PreemptionGuard
+
+    items, gt = _synthetic_items(rng, n=5)
+
+    # reference: uninterrupted sweep
+    pipeline, _ = _pipeline(batch_size=2)
+    ref_dir = tmp_path / "ref"
+    ref_summary, ref_items = run_media_pipeline(
+        items, pipeline, str(ref_dir), gt_records=gt, verbose=False)
+
+    # preempted sweep: guard trips during the first batch -> stops after it
+    out = tmp_path / "sweep"
+    pipeline2, _ = _pipeline(batch_size=2)
+    guard = PreemptionGuard(signals=())
+    guard.request()
+    summary, part_items = run_media_pipeline(
+        items, pipeline2, str(out), gt_records=gt, verbose=False,
+        preempt=guard, flush_every=1000)
+    assert summary.get("preempted") and summary["videos_done"] == 2
+    assert not os.path.exists(out / "prediction.json")  # no partial submission
+    assert len(list(out.glob("data*.json"))) == 1  # flushed progress
+
+    # resume: skips the flushed 2, merges them back into the submission
+    pipeline3, _ = _pipeline(batch_size=2)
+    summary2, all_items = run_media_pipeline(
+        items, pipeline3, str(out), gt_records=gt, verbose=False, resume=True)
+    assert summary2["num_videos"] == 5 and "preempted" not in summary2
+    assert [it["video_id"] for it in all_items] == \
+        [it["video_id"] for it in ref_items]
+    with open(ref_dir / "prediction.json") as f:
+        ref_pred = json.load(f)
+    with open(out / "prediction.json") as f:
+        res_pred = json.load(f)
+    assert res_pred == ref_pred
+    assert (out / "prediction.txt").read_text() == \
+        (ref_dir / "prediction.txt").read_text()
+    np.testing.assert_allclose(summary2["average_mAP"],
+                               ref_summary["average_mAP"], atol=1e-9)
