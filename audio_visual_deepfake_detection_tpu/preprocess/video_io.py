@@ -25,27 +25,25 @@ def read_video_frames(path: str, max_frames: Optional[int] = None,
 
     if host_media.available():
         h, w = size if size else (0, 0)
-        frames, fps = host_media.decode_video(path, out_w=w, out_h=h)
-        if max_frames:
-            frames = frames[:max_frames]
+        frames, fps = host_media.decode_video(path, out_w=w, out_h=h,
+                                              max_frames=max_frames or 0)
         return frames, fps
     try:
         import cv2  # noqa: F401
 
         frames, fps = _read_cv2(path, max_frames)
+        if size:
+            h, w = size
+            frames = np.stack([
+                cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
+                for f in frames])
+        return frames, fps
     except ImportError:
         if not shutil.which("ffmpeg"):
             raise RuntimeError(
                 "no video decoder available (need libav*, cv2 or ffmpeg)")
-        frames, fps = _read_ffmpeg(path, max_frames)
-    if size:
-        import cv2
-
-        h, w = size
-        frames = np.stack([
-            cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
-            for f in frames])
-    return frames, fps
+        # cv2 is absent here, so the resize must ride ffmpeg's scale filter
+        return _read_ffmpeg(path, max_frames, size)
 
 
 def _read_cv2(path: str, max_frames):
@@ -69,7 +67,7 @@ def _read_cv2(path: str, max_frames):
     return np.stack(frames), float(fps)
 
 
-def _read_ffmpeg(path: str, max_frames):
+def _read_ffmpeg(path: str, max_frames, size=None):
     probe = subprocess.run(
         ["ffprobe", "-v", "error", "-select_streams", "v:0",
          "-show_entries", "stream=width,height,r_frame_rate",
@@ -78,8 +76,13 @@ def _read_ffmpeg(path: str, max_frames):
     w, h = int(probe[0]), int(probe[1])
     num, den = probe[2].split("/")
     fps = float(num) / float(den)
-    cmd = ["ffmpeg", "-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24",
-           "-loglevel", "error", "-"]
+    cmd = ["ffmpeg", "-i", path]
+    if size:
+        h, w = size
+        cmd += ["-vf", f"scale={w}:{h}:flags=bilinear"]
+    if max_frames:
+        cmd += ["-frames:v", str(max_frames)]
+    cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-loglevel", "error", "-"]
     raw = subprocess.run(cmd, capture_output=True, check=True).stdout
     frames = np.frombuffer(raw, np.uint8).reshape(-1, h, w, 3)
     if max_frames:

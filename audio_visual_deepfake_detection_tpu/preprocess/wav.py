@@ -50,8 +50,11 @@ def extract_wav(mp4_path: str, wav_path: str, sample_rate: int = SAMPLE_RATE) ->
             return str(e)
         from scipy.io import wavfile
 
+        # round like ffmpeg's s16 conversion (astype alone truncates toward
+        # zero -> 1-LSB drift vs the CLI backend on most samples)
         wavfile.write(wav_path, sample_rate,
-                      np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16))
+                      np.round(np.clip(pcm * 32768.0, -32768, 32767))
+                      .astype(np.int16))
         return None
     if not have_ffmpeg():
         return "no audio decoder (neither native libav* nor ffmpeg CLI)"

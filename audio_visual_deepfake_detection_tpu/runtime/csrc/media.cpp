@@ -91,7 +91,10 @@ int avdd_decode_audio(const char* path, int target_rate, float** out,
   auto drain_frame = [&](AVFrame* f) -> int {
     if (!swr) {
       AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-      AVChannelLayout in_layout;
+      // MUST be zero-initialized: av_channel_layout_copy() first uninits the
+      // destination, and a garbage order==AV_CHANNEL_ORDER_CUSTOM would make
+      // it free() an indeterminate pointer
+      AVChannelLayout in_layout = {};
       if (f->ch_layout.nb_channels > 0)
         av_channel_layout_copy(&in_layout, &f->ch_layout);
       else
@@ -118,9 +121,14 @@ int avdd_decode_audio(const char* path, int target_rate, float** out,
   bool eof = false;
   while (!eof && err == 0) {
     int r = av_read_frame(d.fmt, pkt);
-    if (r < 0) {
+    if (r == AVERROR_EOF) {
       avcodec_send_packet(d.ctx, nullptr);
       eof = true;
+    } else if (r < 0) {
+      // mid-file demux/read error: report it instead of returning silently
+      // truncated media as success
+      err = -13;
+      break;
     } else if (pkt->stream_index != d.stream) {
       av_packet_unref(pkt);
       continue;
@@ -161,13 +169,13 @@ int avdd_decode_audio(const char* path, int target_rate, float** out,
   return 0;
 }
 
-// Decode every frame of the first video stream as packed RGB24.
-// out_w/out_h <= 0 keeps the native size. On success: *frames is one
-// malloc'd (n, h, w, 3) uint8 buffer; *n / *w / *h are set; *fps gets the
-// stream's average frame rate.
+// Decode frames of the first video stream as packed RGB24.
+// out_w/out_h <= 0 keeps the native size; max_frames <= 0 decodes all. On
+// success: *frames is one malloc'd (n, h, w, 3) uint8 buffer; *n / *w / *h
+// are set; *fps gets the stream's average frame rate.
 int avdd_decode_video(const char* path, int out_w, int out_h,
-                      uint8_t** frames, int64_t* n, int* w, int* h,
-                      double* fps) {
+                      int64_t max_frames, uint8_t** frames, int64_t* n,
+                      int* w, int* h, double* fps) {
   *frames = nullptr;
   *n = 0;
   Demux d;
@@ -197,6 +205,11 @@ int avdd_decode_video(const char* path, int out_w, int out_h,
                            nullptr, nullptr, nullptr);
       if (!sws) return -7;
       frame_bytes = (size_t)W * H * 3;
+      // one allocation instead of O(n) regrows: the container usually knows
+      // its frame count; cap the hint by max_frames when set
+      int64_t hint = d.fmt->streams[d.stream]->nb_frames;
+      if (max_frames > 0 && (hint <= 0 || hint > max_frames)) hint = max_frames;
+      if (hint > 0) buf.reserve((size_t)hint * frame_bytes);
     }
     buf.resize(buf.size() + frame_bytes);
     uint8_t* dst = buf.data() + (size_t)count * frame_bytes;
@@ -208,11 +221,15 @@ int avdd_decode_video(const char* path, int out_w, int out_h,
   };
 
   bool eof = false;
-  while (!eof && err == 0) {
+  bool full = false;
+  while (!eof && !full && err == 0) {
     int rd = av_read_frame(d.fmt, pkt);
-    if (rd < 0) {
+    if (rd == AVERROR_EOF) {
       avcodec_send_packet(d.ctx, nullptr);
       eof = true;
+    } else if (rd < 0) {
+      err = -13;  // mid-file demux/read error: fail, don't truncate silently
+      break;
     } else if (pkt->stream_index != d.stream) {
       av_packet_unref(pkt);
       continue;
@@ -220,12 +237,13 @@ int avdd_decode_video(const char* path, int out_w, int out_h,
       avcodec_send_packet(d.ctx, pkt);
       av_packet_unref(pkt);
     }
-    while (err == 0) {
+    while (err == 0 && !full) {
       int rr = avcodec_receive_frame(d.ctx, frm);
       if (rr == AVERROR(EAGAIN) || rr == AVERROR_EOF) break;
       if (rr < 0) { err = -10; break; }
       err = drain_frame(frm);
       av_frame_unref(frm);
+      if (max_frames > 0 && count >= max_frames) full = true;
     }
   }
 

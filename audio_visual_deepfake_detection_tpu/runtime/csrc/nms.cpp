@@ -6,6 +6,15 @@
 // min_score; segment areas carry a +1e-6 epsilon. Implemented as a plain
 // C ABI (no torch, no pybind) loaded via ctypes.
 //
+// Edge semantics kept REFERENCE-exact on purpose (nms_cpu.cpp:90-151):
+//  - exact score ties resolve in the swap-mutated array order (strict `<`
+//    selection), which can differ from the device path's argmax over fixed
+//    original positions — only on bit-equal floats;
+//  - elimination uses `sc[p] < min_score`, so with min_score <= 0 a hard-NMS
+//    (method 0) suppressed candidate survives at score 0 and can be
+//    re-emitted, exactly like the reference. Production wrappers always pass
+//    min_score > 0 (test_cfg.min_score, config.py defaults).
+//
 // Build: see runtime/build.py (g++ -O3 -shared -fPIC).
 
 #include <algorithm>

@@ -11,20 +11,32 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
 // streams: n pointers to row-major (rows[s], chans[s]) float arrays.
 // out: row-major (out_len, sum(chans)) float array.
+// n_threads: OpenMP team size; <= 0 uses the library default. Callers inside
+// a thread pool (the loader workers) pass 1 — a full team per calling thread
+// oversubscribes the host and slows the very loop this kernel accelerates.
 int resample_concat(const float** streams, const int* rows, const int* chans,
-                    int n_streams, int out_len, float* out) {
+                    int n_streams, int out_len, float* out, int n_threads) {
   int total_c = 0;
   for (int s = 0; s < n_streams; ++s) {
     if (rows[s] <= 0 || chans[s] <= 0) return -1;
     total_c += chans[s];
   }
+#ifdef _OPENMP
+  const int nt = n_threads > 0 ? n_threads : omp_get_max_threads();
+#else
+  (void)n_threads;
+  const int nt = 1;
+#endif
 
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(nt)
   for (int j = 0; j < out_len; ++j) {
     float* out_row = out + (int64_t)j * total_c;
     int c_off = 0;

@@ -35,6 +35,7 @@ _ERR = {
     -10: "decode error",
     -11: "no frames decoded",
     -12: "out of memory",
+    -13: "mid-file read/demux error (corrupt or truncated media)",
 }
 
 
@@ -60,7 +61,13 @@ def _load():
     global _lib, _build_error
     if _lib is None and _build_error is None:
         try:
-            lib = ctypes.CDLL(str(ensure_built()))
+            try:
+                lib = ctypes.CDLL(str(ensure_built()))
+            except OSError:
+                # a stale/foreign .so (different glibc/arch, or built from an
+                # older ABI) can exist yet fail to load — rebuild once
+                _LIB_PATH.unlink(missing_ok=True)
+                lib = ctypes.CDLL(str(ensure_built()))
         except (OSError, subprocess.CalledProcessError) as e:  # no libav* on host
             _build_error = str(e)
             return None
@@ -72,7 +79,7 @@ def _load():
         ]
         lib.avdd_decode_video.restype = ctypes.c_int
         lib.avdd_decode_video.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -115,11 +122,13 @@ def decode_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
     return pcm
 
 
-def decode_video(path: str, out_w: int = 0, out_h: int = 0
-                 ) -> Tuple[np.ndarray, float]:
-    """Decode every frame as RGB uint8; optional bilinear resize on the fly.
+def decode_video(path: str, out_w: int = 0, out_h: int = 0,
+                 max_frames: int = 0) -> Tuple[np.ndarray, float]:
+    """Decode frames as RGB uint8; optional bilinear resize on the fly.
 
-    Returns ((T, H, W, 3) uint8, fps). out_w/out_h <= 0 keeps native size.
+    Returns ((T, H, W, 3) uint8, fps). out_w/out_h <= 0 keeps native size;
+    max_frames <= 0 decodes all (the cap stops the decode loop itself, so a
+    16-frame probe of a long clip never materializes the whole video).
     """
     lib = _load()
     if lib is None:
@@ -129,7 +138,7 @@ def decode_video(path: str, out_w: int = 0, out_h: int = 0
     w = ctypes.c_int()
     h = ctypes.c_int()
     fps = ctypes.c_double()
-    rc = lib.avdd_decode_video(path.encode(), out_w, out_h,
+    rc = lib.avdd_decode_video(path.encode(), out_w, out_h, max_frames,
                                ctypes.byref(frames), ctypes.byref(n),
                                ctypes.byref(w), ctypes.byref(h),
                                ctypes.byref(fps))

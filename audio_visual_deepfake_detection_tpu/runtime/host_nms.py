@@ -34,7 +34,12 @@ def ensure_built() -> Path:
 def _load():
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(str(ensure_built()))
+        try:
+            lib = ctypes.CDLL(str(ensure_built()))
+        except OSError:
+            # stale/foreign .so (different glibc/arch): rebuild once
+            _LIB_PATH.unlink(missing_ok=True)
+            lib = ctypes.CDLL(str(ensure_built()))
         lib.softnms_1d.restype = ctypes.c_int
         lib.softnms_1d.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),

@@ -44,7 +44,7 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
         _lib = lib
     return _lib
@@ -59,10 +59,16 @@ def available() -> bool:
 
 
 def resample_concat(streams: List[np.ndarray], out_len: int,
-                    out: Optional[np.ndarray] = None) -> np.ndarray:
+                    out: Optional[np.ndarray] = None,
+                    threads: int = 1) -> np.ndarray:
     """Resample each (rows_s, C_s) float32 stream to ``out_len`` rows and
     concatenate channels -> (out_len, sum(C_s)). Bit-equal to
     ``np.concatenate([linear_resample_np(s, out_len) for s in streams], 1)``.
+
+    ``threads``: OpenMP team size. Default 1 (serial) because the usual
+    caller is a loader WORKER thread — the outer pool provides the
+    parallelism, and a full team per worker oversubscribes the host. Pass 0
+    for the library default team when calling from a single thread.
     """
     lib = _load()
     streams = [np.ascontiguousarray(s, dtype=np.float32) for s in streams]
@@ -74,10 +80,16 @@ def resample_concat(streams: List[np.ndarray], out_len: int,
     total_c = int(sum(s.shape[1] for s in streams))
     if out is None:
         out = np.empty((out_len, total_c), np.float32)
-    assert out.shape == (out_len, total_c) and out.dtype == np.float32
+    # real checks (asserts vanish under -O): the kernel writes raw row-major
+    # memory, so a wrong-shaped or noncontiguous buffer would be corrupted
+    if (out.shape != (out_len, total_c) or out.dtype != np.float32
+            or not out.flags["C_CONTIGUOUS"]):
+        raise ValueError(
+            f"out must be C-contiguous float32 of shape {(out_len, total_c)}, "
+            f"got {out.dtype} {out.shape} contiguous={out.flags['C_CONTIGUOUS']}")
     rc = lib.resample_concat(
         ptrs, rows, chans, n, out_len,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads)
     if rc != 0:
         raise ValueError(f"resample_concat failed (rc={rc}): empty stream?")
     return out

@@ -169,3 +169,37 @@ def test_e2e_decode_falls_back_on_undecodable_video(tmp_path, capsys):
     assert decoded.frames.shape == (50, 96, 96, 3)  # 2 s at nominal 25 fps
     assert decoded.frames.dtype == np.uint8 and not decoded.frames.any()
     assert "substituting blank frames" in capsys.readouterr().out
+
+
+def test_native_max_frames_cap():
+    """max_frames stops the decode loop itself and matches the full decode's
+    prefix (presentation order, not decode order)."""
+    from audio_visual_deepfake_detection_tpu.runtime import host_media
+
+    if not host_media.available():
+        pytest.skip("no native decoder")
+    mp4 = _clips()[0][0]
+    full, fps = host_media.decode_video(mp4, out_w=64, out_h=64)
+    part, fps2 = host_media.decode_video(mp4, out_w=64, out_h=64, max_frames=8)
+    assert part.shape[0] == 8 and fps2 == fps
+    np.testing.assert_array_equal(part, full[:8])
+    # read_video_frames plumbs the cap through
+    from audio_visual_deepfake_detection_tpu.preprocess.video_io import (
+        read_video_frames)
+    frames, _ = read_video_frames(mp4, max_frames=5, size=(64, 64))
+    np.testing.assert_array_equal(frames, full[:5])
+
+
+def test_truncated_file_reports_error(tmp_path):
+    """A file cut off mid-stream must fail decode, not return silently
+    truncated media as success."""
+    from audio_visual_deepfake_detection_tpu.runtime import host_media
+
+    if not host_media.available():
+        pytest.skip("no native decoder")
+    mp4 = _clips()[0][0]
+    data = open(mp4, "rb").read()
+    cut = tmp_path / "cut.mp4"
+    cut.write_bytes(data[: len(data) // 3])
+    with pytest.raises(RuntimeError):
+        host_media.decode_video(str(cut), out_w=64, out_h=64)
