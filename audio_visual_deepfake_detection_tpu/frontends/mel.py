@@ -81,6 +81,12 @@ def frame_signal(wav: jnp.ndarray, n_fft: int = N_FFT,
                  hop: int = HOP_LENGTH) -> jnp.ndarray:
     """Center-pad (reflect) and frame: (..., L) -> (..., T, n_fft)."""
     pad = n_fft // 2
+    if wav.shape[-1] <= pad:
+        # reflect padding needs pad < length; a sub-32ms waveform (degenerate
+        # audio track) is zero-extended first — torch.stft would error here,
+        # but a sweep must survive such files (their features are noise anyway)
+        zeros = [(0, 0)] * (wav.ndim - 1) + [(0, pad + 1 - wav.shape[-1])]
+        wav = jnp.pad(wav, zeros)
     pad_cfg = [(0, 0)] * (wav.ndim - 1) + [(pad, pad)]
     x = jnp.pad(wav, pad_cfg, mode="reflect")
     length = x.shape[-1]

@@ -18,6 +18,25 @@ import os
 from typing import Dict, List, Set, Tuple
 
 
+def flush_files(out_folder: str) -> List[str]:
+    """The folder's data*.json flushes in WRITE order: numbered flushes by
+    their video count (lexicographic sorting would put data_left10000 before
+    data_left5000), then renumbered parts, then the unnumbered final."""
+    import re
+
+    def key(path):
+        name = os.path.basename(path)
+        m = re.fullmatch(r"data_left(\d+)\.json", name)
+        if m:
+            return (0, int(m.group(1)), name)
+        m = re.fullmatch(r"data_left_part(\d+)\.json", name)
+        if m:
+            return (1, int(m.group(1)), name)
+        return (2, 0, name)
+
+    return sorted(glob.glob(os.path.join(out_folder, "data*.json")), key=key)
+
+
 def atomic_write_json(path: str, payload) -> None:
     """Flush via tmp-file + rename so a kill mid-write can never leave a
     truncated JSON behind (os.replace is atomic on POSIX)."""
@@ -32,7 +51,7 @@ def collect_done(out_folder: str) -> Set[str]:
     renumbers a stale unnumbered final flush (``data_left.json``) so the
     resumed run's own final flush cannot overwrite it."""
     done: Set[str] = set()
-    for path in sorted(glob.glob(os.path.join(out_folder, "data*.json"))):
+    for path in flush_files(out_folder):
         with open(path, encoding="utf-8") as f:
             for item in json.load(f):
                 done.add(item["video_id"])

@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -171,6 +171,27 @@ def results_to_items(video_ids: List[str], segs, scores, valid, video_cls,
     return items
 
 
+def items_to_table(result_items: List[dict]) -> Dict[str, np.ndarray]:
+    """Result items -> the flat prediction table the evaluators consume
+    ({'video-id','t-start','t-end','label','score'} of parallel arrays)."""
+    results = {"video-id": [], "t-start": [], "t-end": [], "label": [],
+               "score": []}
+    for it in result_items:
+        scores = np.asarray(it["scores"], np.float64)
+        if len(scores) == 0:
+            continue
+        segs = np.asarray(it["segments"], np.float64).reshape(-1, 2)
+        results["video-id"].extend([it["video_id"]] * len(scores))
+        results["t-start"].append(segs[:, 0])
+        results["t-end"].append(segs[:, 1])
+        results["label"].append(np.zeros(len(scores), np.int64))
+        results["score"].append(scores)
+    for key in ("t-start", "t-end", "label", "score"):
+        results[key] = (np.concatenate(results[key])
+                        if results[key] else np.zeros((0,)))
+    return results
+
+
 def inference_one_epoch(
     loader_batches,
     infer_fn,
@@ -191,7 +212,6 @@ def inference_one_epoch(
     shard loses zero videos instead of up to ``flush_every``."""
     if output_folder:
         os.makedirs(output_folder, exist_ok=True)
-    results = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
     batch_results: List[dict] = []
     all_items: List[dict] = []
     seen = 0
@@ -209,17 +229,6 @@ def inference_one_epoch(
                 batch["duration"], batch["feat_stride"], batch["feat_num_frames"])
         items = results_to_items(video_ids, segs, scores, valid, video_cls,
                                  n_real=len(video_ids))
-        valid_np = np.asarray(valid)
-        segs_np, scores_np = np.asarray(segs), np.asarray(scores)
-        for i, item in enumerate(items):
-            k = valid_np[i]
-            nseg = int(k.sum())
-            if nseg > 0:
-                results["video-id"].extend([item["video_id"]] * nseg)
-                results["t-start"].append(segs_np[i][k][:, 0])
-                results["t-end"].append(segs_np[i][k][:, 1])
-                results["label"].append(np.zeros(nseg, np.int64))
-                results["score"].append(scores_np[i][k])
         batch_results.extend(items)
         all_items.extend(items)
         seen += len(items)
@@ -254,7 +263,4 @@ def inference_one_epoch(
         atomic_write_json(os.path.join(output_folder, "data_left.json"),
                           batch_results)
 
-    for key in ("t-start", "t-end", "label", "score"):
-        results[key] = (np.concatenate(results[key])
-                        if results[key] else np.zeros((0,)))
-    return results, all_items
+    return items_to_table(all_items), all_items

@@ -39,7 +39,8 @@ from ..data.metadata import (byola_trunc_rows, emotion_trunc_rows,
                              load_video_meta)
 from ..frontends.pipeline import FeatureExtractor
 from ..infer.decode import TestConfig
-from ..infer.runner import build_online_inference_fn, inference_one_epoch
+from ..infer.runner import (build_online_inference_fn, inference_one_epoch,
+                            items_to_table)
 from ..models.meta_arch import ArchConfig
 
 
@@ -69,9 +70,9 @@ def synth_wav(video_id: str, duration: float, sample_rate: int = 16000) -> np.nd
 
 
 def _have_audio_decode() -> bool:
-    from ..runtime import host_media
+    from ..preprocess.wav import have_audio_decode
 
-    return host_media.available()
+    return have_audio_decode()  # native libav* OR ffmpeg CLI
 
 
 def discover_media(metadata_root: str, data_root: Optional[str] = None,
@@ -140,6 +141,8 @@ class MediaPipeline:
             cfg, test_cfg, ds_feat_stride, ds_num_frames)
         self.stats: Dict[str, float] = {}
 
+    _warned_synth = False  # one loud warning per process, not per video
+
     # ---------------- host side ----------------
 
     def _decode(self, item: MediaItem) -> MediaItem:
@@ -167,26 +170,38 @@ class MediaPipeline:
             if item.wav_path is not None:
                 from ..preprocess.wav import load_wav
 
-                wav = load_wav(item.wav_path)
+                try:
+                    wav = load_wav(item.wav_path)
+                except Exception as e:  # truncated/wrong-rate wav in the farm
+                    # every decode path substitutes rather than killing the
+                    # sweep (reference logs per-file errors and moves on,
+                    # extract_wav.py:23-26)
+                    print(f"wav load failed for {item.video_id}: {e}; "
+                          "substituting synthetic audio")
+                    wav = synth_wav(item.video_id, item.duration)
             elif item.mp4_path is not None and _have_audio_decode():
                 from ..preprocess.wav import decode_audio
 
                 try:
-                    # real AAC track; trim trailing encoder padding to the
+                    # real audio track; trim trailing encoder padding to the
                     # metadata duration (= audio_frames/16000, the count the
                     # offline .npy pipeline saw)
                     wav = decode_audio(item.mp4_path)
                     n = int(round(item.duration * 16000))
                     if 0 < n < len(wav):
                         wav = wav[:n]
-                except RuntimeError as e:
+                except Exception as e:
                     # corrupt/audio-less file: don't kill a 343k-video sweep
-                    # (reference logs per-file errors and moves on,
-                    # extract_wav.py:23-26)
                     print(f"audio decode failed for {item.video_id}: {e}; "
                           "substituting synthetic audio")
                     wav = synth_wav(item.video_id, item.duration)
             else:
+                # no decoder at all on this host — loudly, once, not 343k times
+                if not MediaPipeline._warned_synth:
+                    MediaPipeline._warned_synth = True
+                    print("WARNING: no audio decoder on this host (no libav*, "
+                          "no ffmpeg) — substituting synthetic audio for "
+                          "EVERY video; audio-stream features will be garbage")
                 wav = synth_wav(item.video_id, item.duration)
         return dataclasses.replace(item, frames=frames, wav=wav)
 
@@ -219,6 +234,13 @@ class MediaPipeline:
             all_chunks.append(chunks)
             counts.append(chunks.shape[0])
             true_t.append(t)
+        shapes = {c.shape[1:] for c in all_chunks}
+        if len(shapes) > 1:
+            # only reachable with host_resize=None over mixed-resolution media
+            raise ValueError(
+                f"mixed frame shapes in one batch {sorted(shapes)} "
+                f"(videos {[it.video_id for it in decoded]}); set host_resize "
+                "so every video decodes to one size")
         vfeats = self.extractor.video_chunks_features(
             np.concatenate(all_chunks, axis=0))
         video_rows, ofs = [], 0
@@ -246,6 +268,15 @@ class MediaPipeline:
     def _collate(self, samples: List[dict], caps: Sequence[int]) -> dict:
         from ..infer.runner import collate_streams
 
+        # a video track outlasting its audio-derived duration (or > max_fps)
+        # can exceed the static cap; trim with a log instead of letting the
+        # collate assert kill a 343k-video sweep over one odd file
+        for smp in samples:
+            for s, arr in enumerate(smp["streams"]):
+                if arr.shape[0] > caps[s]:
+                    print(f"{smp['video_id']}: stream {s} rows "
+                          f"{arr.shape[0]} > cap {caps[s]}; truncating")
+                    smp["streams"][s] = arr[:caps[s]]
         streams, rows, duration, video_ids = collate_streams(samples, list(caps))
         return {"streams": streams, "rows": rows, "duration": duration,
                 "video_ids": video_ids}
@@ -280,29 +311,9 @@ class MediaPipeline:
             output_folder=output_folder, print_freq=print_freq,
             flush_every=flush_every, seen_offset=seen_offset, preempt=preempt)
         self.stats["wall_s"] = time.time() - start
-        self.stats["videos_per_s"] = len(items) / self.stats["wall_s"]
+        # rate over videos actually processed (a preempted run stops early)
+        self.stats["videos_per_s"] = len(all_items) / self.stats["wall_s"]
         return results, all_items
-
-
-def items_to_table(result_items: Sequence[dict]) -> Dict[str, np.ndarray]:
-    """Rebuild the flat prediction table (the evaluator's input) from
-    result-item dicts — used when a resumed sweep merges flushed items."""
-    results = {"video-id": [], "t-start": [], "t-end": [], "label": [],
-               "score": []}
-    for it in result_items:
-        scores = np.asarray(it["scores"], np.float64)
-        if len(scores) == 0:
-            continue
-        segs = np.asarray(it["segments"], np.float64).reshape(-1, 2)
-        results["video-id"].extend([it["video_id"]] * len(scores))
-        results["t-start"].append(segs[:, 0])
-        results["t-end"].append(segs[:, 1])
-        results["label"].append(np.zeros(len(scores), np.int64))
-        results["score"].append(scores)
-    for key in ("t-start", "t-end", "label", "score"):
-        results[key] = (np.concatenate(results[key])
-                        if results[key] else np.zeros((0,)))
-    return results
 
 
 def run_media_pipeline(
@@ -331,7 +342,7 @@ def run_media_pipeline(
     import json as jsonlib
 
     from ..eval.challenge import run_evaluation
-    from ..infer.resume import collect_done
+    from ..infer.resume import collect_done, flush_files
     from ..infer.results import (write_segment_predictions,
                                  write_video_predictions)
 
@@ -342,7 +353,7 @@ def run_media_pipeline(
         if done_ids:
             done_items = [
                 it
-                for path in sorted(glob.glob(os.path.join(out_dir, "data*.json")))
+                for path in flush_files(out_dir)  # write order, not lexicographic
                 for it in jsonlib.load(open(path, encoding="utf-8"))]
             items = [it for it in items if it.video_id not in done_ids]
             if verbose:

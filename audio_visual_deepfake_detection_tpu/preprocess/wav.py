@@ -32,12 +32,34 @@ def have_native() -> bool:
     return host_media.available()
 
 
-def decode_audio(mp4_path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
-    """mp4 -> mono float32 PCM in [-1, 1] without touching disk (native
-    libav* decode; the in-process equivalent of extract_wav + load_wav)."""
-    from ..runtime import host_media
+def have_audio_decode() -> bool:
+    """True when SOME real audio decode path exists (native or ffmpeg CLI)."""
+    return have_native() or have_ffmpeg()
 
-    return host_media.decode_audio(mp4_path, sample_rate)
+
+def decode_audio(mp4_path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """mp4 -> mono float32 PCM in [-1, 1] without touching disk. Backends:
+    native libav* (in-process, preferred), then the ffmpeg CLI piping raw
+    f32le — so an ffmpeg-only host still decodes the REAL track instead of
+    falling through to synthetic audio."""
+    if have_native():
+        from ..runtime import host_media
+
+        return host_media.decode_audio(mp4_path, sample_rate)
+    if have_ffmpeg():
+        cmd = ["ffmpeg", "-i", mp4_path, "-map", "0:a:0", "-ac", "1",
+               "-ar", str(sample_rate), "-f", "f32le", "-loglevel", "error",
+               "-"]
+        try:
+            raw = subprocess.run(cmd, check=True, capture_output=True).stdout
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"ffmpeg audio decode failed for {mp4_path}: "
+                f"{e.stderr.decode(errors='replace')}")
+        if not raw:
+            raise RuntimeError(f"no audio decoded from {mp4_path}")
+        return np.frombuffer(raw, np.float32).copy()
+    raise RuntimeError("no audio decoder (neither native libav* nor ffmpeg CLI)")
 
 
 def extract_wav(mp4_path: str, wav_path: str, sample_rate: int = SAMPLE_RATE) -> Optional[str]:

@@ -274,3 +274,30 @@ def test_media_pipeline_preempt_and_resume(rng, tmp_path):
         (ref_dir / "prediction.txt").read_text()
     np.testing.assert_allclose(summary2["average_mAP"],
                                ref_summary["average_mAP"], atol=1e-9)
+
+
+def test_overlong_video_stream_is_trimmed_not_fatal(rng, tmp_path):
+    """A video track outlasting its audio-derived duration (or >max_fps)
+    exceeds the static cap; the sweep trims it instead of dying on the
+    collate assert."""
+    items, gt = _synthetic_items(rng, n=2)
+    # 60 fps-worth of frames for a 2 s video: 120 rows > cap up8(2*31+1)=64
+    long_frames = rng.integers(0, 255, (120, 32, 32, 3), dtype=np.uint8)
+    items[0] = MediaItem(video_id=items[0].video_id, duration=2.0,
+                         frames=long_frames,
+                         wav=synth_wav(items[0].video_id, 2.0))
+    pipeline, _ = _pipeline(batch_size=2)
+    summary, result_items = run_media_pipeline(
+        items, pipeline, str(tmp_path), gt_records=gt, verbose=False)
+    assert summary["num_videos"] == 2
+    assert len(result_items) == 2  # both videos produced rows
+
+
+def test_tiny_waveform_does_not_crash_mel(rng):
+    """Sub-32ms audio (reflect pad would exceed the signal) is zero-extended
+    instead of crashing the frontend."""
+    from audio_visual_deepfake_detection_tpu.frontends.mel import (
+        mel_spectrogram)
+
+    out = mel_spectrogram(np.asarray(rng.standard_normal(300).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()

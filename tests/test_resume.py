@@ -153,3 +153,18 @@ def test_loader_equal_shards_aligns_batch_counts():
         eq_items.append(got)
     assert eq_counts == [2, 2]  # 7 items each -> 2 batches each
     assert set(eq_items[0]).isdisjoint(eq_items[1])
+
+
+def test_flush_files_numeric_order(tmp_path):
+    """Numbered flushes merge in write order, not lexicographic (data_left
+    10000 must come after 5000), then parts, then the unnumbered final."""
+    from audio_visual_deepfake_detection_tpu.infer.resume import flush_files
+
+    folder = str(tmp_path)
+    for name in ("data_left10000.json", "data_left5000.json",
+                 "data_left.json", "data_left_part2.json",
+                 "data_left_part10.json"):
+        _flush(folder, name, ["x"])
+    assert [os.path.basename(p) for p in flush_files(folder)] == [
+        "data_left5000.json", "data_left10000.json",
+        "data_left_part2.json", "data_left_part10.json", "data_left.json"]
