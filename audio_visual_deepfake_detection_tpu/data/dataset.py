@@ -101,6 +101,27 @@ STREAM_FOLDER_KEYS = {
 LEGACY_AUDIO_KEY = "audio_feat_folder"
 
 
+class CorruptFeatureError(RuntimeError):
+    """An unreadable feature .npy (truncated/corrupt cache file)."""
+
+
+def _stream_folders(streams, dataset_cfg) -> Dict[str, str]:
+    """Per-stream feature folders. The legacy ``audio_feat_folder`` fallback
+    applies to AUDIO streams only — a config missing video_feat_folder must
+    fail here, not silently feed audio features in as the video stream."""
+    folders = {}
+    for s in streams:
+        folder = dataset_cfg.get(STREAM_FOLDER_KEYS[s])
+        if not folder and s != "video":
+            folder = dataset_cfg.get(LEGACY_AUDIO_KEY)
+        if not folder:
+            raise KeyError(
+                f"dataset config is missing {STREAM_FOLDER_KEYS[s]!r} for the "
+                f"{s!r} stream")
+        folders[s] = folder
+    return folders
+
+
 def _trunc_rows(stream: str, duration: float) -> Optional[int]:
     if stream == "byola":
         return md.byola_trunc_rows(duration)
@@ -123,10 +144,7 @@ class DeepfakeDataset:
         base = dataset_name.replace("_inference", "")
         assert base in DATASET_STREAMS, f"unknown dataset {dataset_name}"
         self.streams = DATASET_STREAMS[base]
-        self.folders = {
-            s: dataset_cfg.get(STREAM_FOLDER_KEYS[s]) or dataset_cfg.get(LEGACY_AUDIO_KEY)
-            for s in self.streams
-        }
+        self.folders = _stream_folders(self.streams, dataset_cfg)
         self.is_training = is_training
         self.split = tuple(split)
         self.json_folder = dataset_cfg["json_folder"]
@@ -146,6 +164,15 @@ class DeepfakeDataset:
         # device_resample: skip the host resample; ship raw ragged streams +
         # the host-drawn crop window (bit-identical rng) to the device program
         self.device_resample = bool(dataset_cfg.get("device_resample", False))
+        if not self.force_upsampling and len(self.streams) > 1:
+            # the reference's own non-upsampled branch bare-concats streams on
+            # mismatched time grids (deepfake_video_audio.py:1019
+            # torch.cat([video_feats, audio_feats])) — it crashes there too;
+            # fail at config time with the actual reason instead
+            raise ValueError(
+                f"{dataset_name}: force_upsampling=False is unsupported for "
+                f"multi-stream datasets (streams live on different time "
+                f"grids); the reference has the same constraint")
         self.data_list = md.read_list_file(dataset_cfg["train_txt"])
         self.attrs = {
             "dataset_name": "DeepFake_Audio",
@@ -159,7 +186,13 @@ class DeepfakeDataset:
     def _load_streams(self, rel_npy: str, duration: float) -> List[np.ndarray]:
         feats = []
         for s in self.streams:
-            arr = np.load(os.path.join(self.folders[s], rel_npy))
+            try:
+                arr = np.load(os.path.join(self.folders[s], rel_npy))
+            except (ValueError, OSError) as e:
+                # tagged so __getitem__'s neighbor-substitution only fires for
+                # genuinely unreadable feature files, never for logic errors
+                raise CorruptFeatureError(
+                    f"{self.folders[s]}/{rel_npy}: {e}") from e
             rows = _trunc_rows(s, duration)
             if rows is not None:
                 arr = arr[:rows]
@@ -183,9 +216,11 @@ class DeepfakeDataset:
         rel_json = self.data_list[idx]
         try:
             return self._get_one(rel_json, rng)
-        except (ValueError, OSError) as e:
+        except CorruptFeatureError:
             # corrupt feature file: substitute a neighboring sample
-            # (deepfake_video_audio.py:908-917)
+            # (deepfake_video_audio.py:908-917). Logic errors (shape
+            # mismatches etc.) propagate — retrying a neighbor would fail
+            # identically and misattribute the error to the wrong sample.
             alt = (idx + 1) % len(self.data_list)
             return self._get_one(self.data_list[alt], rng)
 
@@ -294,10 +329,7 @@ class DeepfakeInferenceDataset:
     def __init__(self, dataset_name: str, split, sub_index: int, dataset_cfg: Dict):
         base = dataset_name.replace("_inference", "")
         self.streams = DATASET_STREAMS[base]
-        self.folders = {
-            s: dataset_cfg.get(STREAM_FOLDER_KEYS[s]) or dataset_cfg.get(LEGACY_AUDIO_KEY)
-            for s in self.streams
-        }
+        self.folders = _stream_folders(self.streams, dataset_cfg)
         self.feat_stride = dataset_cfg["feat_stride"]
         self.num_frames = dataset_cfg["num_frames"]
         self.max_seq_len = dataset_cfg["max_seq_len"]

@@ -80,7 +80,14 @@ class DataLoader:
         return order
 
     def __len__(self) -> int:
-        n = len(self._shard_order())
+        # arithmetic, not len(self._shard_order()): materializing + shuffling
+        # a 343k-element permutation just to count batches is O(N) per call
+        n = len(self.dataset)
+        if self.num_shards > 1:
+            if self.equal_shards:
+                n = n // self.num_shards
+            else:
+                n = (n - self.shard_rank + self.num_shards - 1) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -99,6 +106,21 @@ class DataLoader:
         skip_batches = self._skip  # one-shot, consumed by this iteration
         self._skip = 0
 
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned the
+            iterator (preemption return, break) — otherwise the producer
+            would block on the full queue forever, pinning its worker pool
+            and several collated batches for the life of the process."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # an exception anywhere in the producer must reach the consumer,
             # otherwise the main thread blocks on out_q.get() forever
@@ -110,25 +132,33 @@ class DataLoader:
                         if skip > 0:
                             skip -= 1
                             continue
+                        if stop.is_set():
+                            return
                         futures = [
                             pool.submit(self.dataset.__getitem__, int(i),
                                         np.random.default_rng(int(s)))
                             for i, s in zip(batch_idx, seeds)
                         ]
                         samples = [f.result() for f in futures]
-                        out_q.put(self.collate(samples))
-                out_q.put(sentinel)
+                        if not put(self.collate(samples)):
+                            return
+                put(sentinel)
             except BaseException as exc:  # noqa: BLE001
-                out_q.put(exc)
+                put(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                thread.join()
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    thread.join()
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            # consumer gone early (break / preemption / GC): release the
+            # producer and its pool promptly
+            stop.set()

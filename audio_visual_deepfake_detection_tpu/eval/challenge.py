@@ -22,7 +22,13 @@ def build_proposal_json(
     cls_scores: Optional[Dict[str, Sequence[float]]] = None,
     top_per_video: int = 100,
 ) -> Dict:
-    """Per-video proposal lists (eval.py:103-145)."""
+    """Per-video proposal lists (eval.py:103-145).
+
+    NOTE: like the reference (`detection_thread`, eval.py:110 `range(min(100,
+    len(df)))`), this keeps each video's FIRST ``top_per_video`` rows in
+    table order, not the top-scoring ones — the internal pipeline feeds it
+    score-descending NMS output, for which the two are identical. Sort your
+    table per video by score first if it comes from anywhere else."""
     by_vid: Dict[str, List] = {}
     vids = np.asarray(preds["video-id"])
     for i, vid in enumerate(vids):

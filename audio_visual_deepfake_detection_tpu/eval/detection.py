@@ -343,12 +343,15 @@ def postprocess_results_with_cls(
         cls = np.asarray(cls_scores[vid])
         top_idx = np.argsort(cls)[::-1][:topk]
         top_score = cls[top_idx]
+        # a video may carry fewer external classes than topk — every column
+        # must use the ACTUAL k or the parallel arrays diverge in length
+        k = len(top_idx)
         score = np.asarray(result["score"])[:num_pred]
         seg = np.asarray(result["segment"])[:num_pred]
         n = len(score)
-        out["video-id"].extend([vid] * n * topk)
-        out["t-start"].append(np.tile(seg[:, 0], topk))
-        out["t-end"].append(np.tile(seg[:, 1], topk))
+        out["video-id"].extend([vid] * n * k)
+        out["t-start"].append(np.tile(seg[:, 0], k))
+        out["t-end"].append(np.tile(seg[:, 1], k))
         out["label"].append(np.repeat(top_idx, n))
         out["score"].append(np.sqrt(top_score[:, None] * score[None, :]).flatten())
     for key in ("t-start", "t-end", "label", "score"):

@@ -76,8 +76,12 @@ def restore_checkpoint(path: str, state):
     }
     try:
         restored = _checkpointer().restore(os.path.abspath(path), item=template)
-    except Exception:
-        # pre-next_iter checkpoint layout
+    except Exception as e:
+        # retry against the pre-next_iter layout ONLY when that field is the
+        # problem — anything else (shape mismatch, missing path, half-written
+        # dir) must surface as the real error, not a misleading second one
+        if "next_iter" not in str(e):
+            raise
         del template["next_iter"]
         restored = _checkpointer().restore(os.path.abspath(path), item=template)
     new_state = state.replace(

@@ -107,8 +107,10 @@ def train_one_epoch(
 
         if ckpt_every_iters > 0 and iter_idx > 0 and iter_idx % ckpt_every_iters == 0 \
                 and ckpt_folder:
+            # tag names the epoch IN PROGRESS + the next iteration, matching
+            # the payload (and the preempt_* tags) exactly
             save_checkpoint(ckpt_folder, curr_epoch, state,
-                            tag=f"epoch_{curr_epoch + 1:03d}_iter{iter_idx}",
+                            tag=f"epoch_{curr_epoch:03d}_iter{iter_idx + 1}",
                             next_iter=iter_idx + 1)
 
         # preemption poll on a fixed cadence — every host hits the SAME

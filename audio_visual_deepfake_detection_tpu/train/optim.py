@@ -50,7 +50,11 @@ def make_schedule(opt_cfg: Dict, num_iters_per_epoch: int) -> optax.Schedule:
         return sched
     max_steps = opt_cfg["epochs"] * num_iters_per_epoch
     if opt_cfg.get("schedule_type", "cosine") == "cosine":
-        return optax.cosine_decay_schedule(base_lr, max_steps)
+        # same eta_min floor as the warmup branch (reference CosineAnnealing
+        # default 1e-8, lr_schedulers.py:52) — alpha is the fraction of base
+        return optax.cosine_decay_schedule(
+            base_lr, max_steps,
+            alpha=opt_cfg.get("eta_min", 1e-8) / base_lr)
     steps = [num_iters_per_epoch * s for s in opt_cfg["schedule_steps"]]
     return optax.piecewise_constant_schedule(
         base_lr, {s: opt_cfg.get("schedule_gamma", 0.1) for s in steps})

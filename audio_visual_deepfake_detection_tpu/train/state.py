@@ -128,8 +128,10 @@ def build_train_step(
     return train_step
 
 
-def build_eval_forward(cfg: ArchConfig, use_ema: bool = True):
-    """Returns forward(params, feats, mask) -> model outputs (eval mode)."""
+def build_eval_forward(cfg: ArchConfig):
+    """Returns forward(params, feats, mask) -> model outputs (eval mode).
+    Pass EMA or raw params explicitly — selecting them is the caller's job
+    (restore_params(use_ema=...))."""
     model = AVLocalizer(cfg)
 
     def forward(params, feats, mask):

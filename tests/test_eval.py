@@ -221,3 +221,25 @@ def test_json_io_round_trip(tmp_path):
     pred_path.write_text(json.dumps(pred_blob))
     pred = load_pred_seg_from_json(str(pred_path))
     assert len(pred["score"]) == 1 and pred["score"][0] == 0.9
+
+
+def test_cls_fusion_handles_fewer_classes_than_topk():
+    """A video with fewer external classes than topk must not desync the
+    parallel arrays of the fused table."""
+    from audio_visual_deepfake_detection_tpu.eval.detection import (
+        postprocess_results_with_cls)
+
+    results = {
+        "a": {"score": [0.9, 0.8], "segment": [[0.0, 1.0], [2.0, 3.0]]},
+        "b": {"score": [0.7], "segment": [[1.0, 2.0]]},
+    }
+    cls_scores = {"a": [0.5], "b": [0.6, 0.4]}  # a has 1 class, topk=2
+    out = postprocess_results_with_cls(results, cls_scores, topk=2)
+    n = len(out["video-id"])
+    assert all(len(out[k]) == n
+               for k in ("t-start", "t-end", "label", "score"))
+    assert n == 2 * 1 + 1 * 2  # a: 2 segs x 1 class, b: 1 seg x 2 classes
+    # rows for b carry b's segment, not a's
+    b_rows = out["video-id"] == "b"
+    assert np.allclose(out["t-start"][b_rows], 1.0)
+    assert np.allclose(out["t-end"][b_rows], 2.0)

@@ -168,3 +168,30 @@ def test_flush_files_numeric_order(tmp_path):
     assert [os.path.basename(p) for p in flush_files(folder)] == [
         "data_left5000.json", "data_left10000.json",
         "data_left_part2.json", "data_left_part10.json", "data_left.json"]
+
+
+def test_loader_abandoned_iteration_releases_producer():
+    """Breaking out of a loader iteration (preemption) must not leave the
+    producer blocked on the bounded queue forever."""
+    import threading
+    import time as _t
+
+    from audio_visual_deepfake_detection_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, idx, rng=None):
+            return idx
+
+    before = threading.active_count()
+    loader = DataLoader(Ds(), 2, list, shuffle=False, num_workers=2,
+                        prefetch=1)
+    it = iter(loader)
+    next(it)  # one batch, then abandon
+    it.close()
+    deadline = _t.time() + 10
+    while threading.active_count() > before and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

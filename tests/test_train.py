@@ -257,3 +257,27 @@ def test_remat_grads_match(rng):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cosine_no_warmup_honors_eta_min():
+    """The no-warmup cosine branch must end at eta_min like the warmup one
+    (reference CosineAnnealingLR eta_min, lr_schedulers.py:52)."""
+    from audio_visual_deepfake_detection_tpu.train.optim import make_schedule
+
+    cfg = {**OPT_CFG, "warmup": False, "eta_min": 1e-6, "epochs": 2}
+    sched = make_schedule(cfg, num_iters_per_epoch=10)
+    assert float(sched(20)) == pytest.approx(1e-6, rel=1e-3)
+    assert float(sched(0)) == pytest.approx(cfg["learning_rate"])
+
+
+def test_missing_video_folder_fails_fast():
+    """The legacy audio_feat_folder fallback must not silently stand in for
+    the VIDEO stream's folder."""
+    from audio_visual_deepfake_detection_tpu.data.dataset import (
+        _stream_folders)
+
+    with pytest.raises(KeyError, match="video_feat_folder"):
+        _stream_folders(("video", "byola"), {"audio_feat_folder": "/x"})
+    # audio streams do fall back
+    folders = _stream_folders(("byola",), {"audio_feat_folder": "/x"})
+    assert folders["byola"] == "/x"
