@@ -154,6 +154,12 @@ def _propagate(config: Dict) -> Dict:
 def load_config(path: str) -> Dict[str, Any]:
     with open(path, "r") as f:
         config = yaml.safe_load(f)
+    if config is None:  # empty / comments-only file -> pure defaults
+        config = {}
+    if not isinstance(config, dict):
+        raise ValueError(
+            f"config file {path!r} must be a YAML mapping, got "
+            f"{type(config).__name__}")
     _merge_defaults(default_config(), config)
     return _propagate(config)
 

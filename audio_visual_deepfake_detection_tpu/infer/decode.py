@@ -30,7 +30,7 @@ class TestConfig:
     __test__ = False  # not a pytest class
 
     pre_nms_thresh: float = 0.001
-    pre_nms_topk: int = 2000
+    pre_nms_topk: int = 5000
     # 0 = off (reference behavior). >0 keeps only the K best-scored
     # candidates across all levels before the sequential soft-NMS loop —
     # a small-batch serving-latency knob (see postprocess_batch).

@@ -201,6 +201,7 @@ def inference_one_epoch(
     print_freq: int = 20,
     seen_offset: int = 0,
     preempt=None,
+    collect_items: bool = True,
 ):
     """Stream detection results; returns the flat prediction table for
     evaluation plus all result items. ``loader_batches`` yields collated
@@ -209,7 +210,12 @@ def inference_one_epoch(
     with the flushes an earlier run already wrote. ``preempt`` (a
     train.preempt.PreemptionGuard) makes SIGTERM flush the pending results
     and stop after the current batch — combined with --resume, a preempted
-    shard loses zero videos instead of up to ``flush_every``."""
+    shard loses zero videos instead of up to ``flush_every``.
+
+    ``collect_items=False`` returns ``(None, None)`` and retains nothing
+    between flushes — required for flush-to-disk sweeps (inference.py) where
+    holding every shard item (up to max_seg_num segments/scores per video,
+    ~49k videos per shard) would grow host memory unboundedly."""
     if output_folder:
         os.makedirs(output_folder, exist_ok=True)
     batch_results: List[dict] = []
@@ -230,7 +236,8 @@ def inference_one_epoch(
         items = results_to_items(video_ids, segs, scores, valid, video_cls,
                                  n_real=len(video_ids))
         batch_results.extend(items)
-        all_items.extend(items)
+        if collect_items:
+            all_items.extend(items)
         seen += len(items)
 
         if output_folder and seen - flushed >= flush_every:
@@ -263,4 +270,6 @@ def inference_one_epoch(
         atomic_write_json(os.path.join(output_folder, "data_left.json"),
                           batch_results)
 
+    if not collect_items:
+        return None, None
     return items_to_table(all_items), all_items

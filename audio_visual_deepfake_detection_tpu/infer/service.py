@@ -88,11 +88,30 @@ class LocalizerService:
     def submit(self, feats: np.ndarray, fps: float, duration: float,
                feat_stride: float, feat_num_frames: Optional[float] = None,
                mask: Optional[np.ndarray] = None) -> Future:
-        """Queue one video's (T, C) features; returns a Future[Detections]."""
+        """Queue one video's (T, C) features; returns a Future[Detections].
+
+        Shapes are validated here, in the caller's thread: a malformed
+        request raises at submit() instead of poisoning the shared batch
+        (which would kill the worker and hang every other waiter).
+        """
         t = self.cfg.max_seq_len
-        assert feats.shape[0] <= t, "sequence longer than max_seq_len"
+        feats = np.asarray(feats)
+        if feats.ndim != 2 or feats.shape[1] != self.cfg.input_dim:
+            raise ValueError(
+                f"feats must be (T, {self.cfg.input_dim}); got {feats.shape}")
+        if feats.shape[0] > t:
+            raise ValueError(
+                f"sequence length {feats.shape[0]} > max_seq_len {t}")
         if mask is None:
             mask = np.arange(t) < feats.shape[0]
+        else:
+            mask = np.asarray(mask, bool)
+            if mask.shape not in ((feats.shape[0],), (t,)):
+                raise ValueError(
+                    f"mask must be ({feats.shape[0]},) or ({t},); "
+                    f"got {mask.shape}")
+            if mask.shape[0] < t:  # pad to compiled length: padding is invalid
+                mask = np.concatenate([mask, np.zeros(t - mask.shape[0], bool)])
         if feats.shape[0] < t:
             feats = np.concatenate(
                 [feats, np.zeros((t - feats.shape[0],) + feats.shape[1:],
@@ -148,20 +167,20 @@ class LocalizerService:
 
     def _flush(self, batch: List[_Request]):
         n = len(batch)
-        b = next(bk for bk in self.buckets if bk >= n)
-        t = self.cfg.max_seq_len
-        c = self.cfg.input_dim
-        feats = np.zeros((b, t, c), self._transfer_dtype)
-        mask = np.zeros((b, t), bool)
-        fps = np.ones((b,), np.float32)
-        dur = np.ones((b,), np.float32)
-        stride = np.ones((b,), np.float32)
-        nframes = np.ones((b,), np.float32)
-        for i, r in enumerate(batch):
-            feats[i], mask[i] = r.feats, r.mask
-            fps[i], dur[i] = r.fps, r.duration
-            stride[i], nframes[i] = r.feat_stride, r.feat_num_frames
-        try:
+        try:  # any failure resolves the waiters; the worker thread survives
+            b = next(bk for bk in self.buckets if bk >= n)
+            t = self.cfg.max_seq_len
+            c = self.cfg.input_dim
+            feats = np.zeros((b, t, c), self._transfer_dtype)
+            mask = np.zeros((b, t), bool)
+            fps = np.ones((b,), np.float32)
+            dur = np.ones((b,), np.float32)
+            stride = np.ones((b,), np.float32)
+            nframes = np.ones((b,), np.float32)
+            for i, r in enumerate(batch):
+                feats[i], mask[i] = r.feats, r.mask
+                fps[i], dur[i] = r.fps, r.duration
+                stride[i], nframes[i] = r.feat_stride, r.feat_num_frames
             segs, scores, cls_idxs, valid, video_cls = self._infer_fn(
                 self.params, feats, mask, fps, dur, stride, nframes)
             segs, scores, cls_idxs, valid, video_cls = map(
@@ -176,12 +195,17 @@ class LocalizerService:
                 if not r.future.done():
                     r.future.set_exception(e)
 
-    def stop(self):
+    def stop(self, timeout: Optional[float] = None) -> bool:
         """Graceful drain: requests already queued are still answered; new
-        submits raise. Idempotent."""
+        submits raise. Blocks until the queue drains (or ``timeout`` seconds
+        if given). Returns True once drained; False means the timeout hit
+        with work still in flight — the daemon worker keeps draining, but a
+        process exit at that point abandons the remaining futures. Idempotent
+        (a repeat call just re-joins)."""
         with self._close_lock:
-            if self._closed:
-                return
-            self._closed = True
-            self._queue.put(None)  # FIFO: lands after every accepted request
-        self._thread.join(timeout=30)
+            if not self._closed:
+                self._closed = True
+                # FIFO: the sentinel lands after every accepted request
+                self._queue.put(None)
+        self._thread.join(timeout=timeout)
+        return not self._thread.is_alive()

@@ -24,7 +24,6 @@ from ..ops.conv import MaskedConv1D
 from ..ops.norm import ChannelLayerNorm
 from ..ops.pe import sinusoid_encoding
 from ..ops.resample import linear_resample_time, nearest_resample_time
-from ..ops.pallas import fused_block as _fused
 from .blocks import TransformerBlock, fused_train_eligible
 
 

@@ -18,6 +18,16 @@ import jax.numpy as jnp
 @functools.lru_cache(maxsize=16)
 def _points_np(feat_lens: Tuple[int, ...], fpn_strides: Tuple[int, ...],
                regression_range: Tuple[Tuple[float, float], ...], use_offset: bool):
+    # mirror the reference's sanity check (loc_generators.py:43-44): a length
+    # mismatch (e.g. fpn_start_level > 0 with the full 6-entry range table)
+    # must fail loudly — zip would silently pair the coarsest level with the
+    # wrong range and long segments would get zero positive points
+    if not (len(feat_lens) == len(fpn_strides) == len(regression_range)):
+        raise ValueError(
+            f"fpn levels mismatch: {len(feat_lens)} feat_lens, "
+            f"{len(fpn_strides)} fpn_strides, {len(regression_range)} "
+            f"regression ranges (must all match; slice regression_range "
+            f"when using fpn_start_level > 0)")
     per_level = []
     for t_i, stride, (lo, hi) in zip(feat_lens, fpn_strides, regression_range):
         ts = np.arange(t_i, dtype=np.float32) * stride

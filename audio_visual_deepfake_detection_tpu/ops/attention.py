@@ -75,7 +75,21 @@ def band_attention(
         from .pallas.band_attention import band_attention_fused
 
         return band_attention_fused(q, k, v, kv_valid, w_overlap)
+    return band_attention_xla(q, k, v, kv_valid, w_overlap, rel_pe, time_weight)
 
+
+def band_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    w_overlap: int,
+    rel_pe: Optional[jnp.ndarray] = None,
+    time_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The pure-XLA banded formulation, never dispatched to Pallas. The fused
+    kernel's custom_vjp differentiates this directly (same math, no global
+    flag involved)."""
     b, h, t, d_head = q.shape
     band = 2 * w_overlap + 1
     kv_pen = jnp.where(kv_valid, 0.0, NEG_PENALTY).astype(q.dtype)  # (B, T)

@@ -24,10 +24,11 @@ import flax.linen as nn
 from .resample import downsample_mask
 
 
-def _torch_conv_kernel_init(in_features: int, kernel_size: int):
-    """Uniform(-1/sqrt(fan_in), +1/sqrt(fan_in)) — the torch Conv1d default,
-    kept so converted reference checkpoints and fresh inits share scale."""
-    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# Uniform(-1/sqrt(fan_in), +1/sqrt(fan_in)) — the torch Conv1d default, kept
+# so converted reference checkpoints and fresh inits share scale. fan_in is
+# derived from the kernel shape by variance_scaling itself.
+_TORCH_CONV_KERNEL_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
 
 
 class MaskedConv1D(nn.Module):
@@ -52,7 +53,7 @@ class MaskedConv1D(nn.Module):
 
         kernel = self.param(
             "kernel",
-            _torch_conv_kernel_init(c // self.groups, self.kernel_size),
+            _TORCH_CONV_KERNEL_INIT,
             (self.kernel_size, c // self.groups, self.features),
             jnp.float32,
         )
@@ -98,7 +99,7 @@ class MaskedConvTranspose1D(nn.Module):
         pad = self.kernel_size // 2
         kernel = self.param(
             "kernel",
-            _torch_conv_kernel_init(c, self.kernel_size),
+            _TORCH_CONV_KERNEL_INIT,
             (self.kernel_size, c, self.features),
             jnp.float32,
         )

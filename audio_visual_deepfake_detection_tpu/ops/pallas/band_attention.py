@@ -137,14 +137,11 @@ def _fused_bwd(w_overlap, residuals, g):
     from .. import attention as attn_mod
 
     q, k, v, kv_valid = residuals
-    # reference XLA implementation, bypassing the pallas dispatch flag
+    # the pure-XLA banded formulation (same math as the kernel); calling it
+    # directly sidesteps band_attention's Pallas dispatch without touching
+    # the module-global flag (which would race under concurrent tracing)
     def ref_fn(q_, k_, v_):
-        saved = attn_mod.USE_PALLAS
-        attn_mod.USE_PALLAS = False
-        try:
-            return attn_mod.band_attention(q_, k_, v_, kv_valid, w_overlap)
-        finally:
-            attn_mod.USE_PALLAS = saved
+        return attn_mod.band_attention_xla(q_, k_, v_, kv_valid, w_overlap)
 
     _, vjp = jax.vjp(ref_fn, q, k, v)
     dq, dk, dv = vjp(g)

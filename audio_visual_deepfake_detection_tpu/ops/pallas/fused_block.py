@@ -45,6 +45,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..attention import NEG_PENALTY  # finite masked-kv penalty (blocks.py:753)
+from .band_attention import _shift_rows
+
 # Banded attention via band-masked dense NT contractions instead of the
 # per-offset shift formulation: (2w+1) x (2 one-hot matmuls + 2 shifts +
 # elementwise) becomes 2 x n_head MXU contractions with a (T, T) band mask.
@@ -57,7 +60,6 @@ from jax.experimental.pallas import tpu as pltpu
 # kernels — restart to flip).
 BAND_VIA_DENSE = os.environ.get("AVDD_BAND_DENSE", "0") == "1"
 
-NEG_PENALTY = -1e4   # finite masked-kv penalty (reference blocks.py:753)
 NEG_INF = -1e30      # band/sequence edge: effectively -inf, NaN-safe
 LN_EPS = 1e-5
 
@@ -81,15 +83,14 @@ ROW_LNV_W, ROW_LNV_B = 4, 5
 ROW_QCONV = 6   # 3 rows
 ROW_KCONV = 9
 ROW_VCONV = 12
-ROW_QN_W, ROW_QN_B = 15, 16
-ROW_KN_W, ROW_KN_B = 17, 18
-ROW_VN_W, ROW_VN_B = 19, 20
-ROW_Q_BIAS, ROW_K_BIAS, ROW_V_BIAS, ROW_P_BIAS = 21, 22, 23, 24
-ROW_SCALE_ATTN = 25
-ROW_LN2_W, ROW_LN2_B = 26, 27
-ROW_FC2_BIAS = 28
-ROW_SCALE_MLP = 29
-NUM_VEC_ROWS = 30
+# q/k/v bias rows carry the FOLDED biases — pack_block_params folds the
+# post-conv LN affines into wq/wk/wv and the ln2 affine into wf1/fc1b, so
+# those affine vectors are never shipped as rows of their own
+ROW_Q_BIAS, ROW_K_BIAS, ROW_V_BIAS, ROW_P_BIAS = 15, 16, 17, 18
+ROW_SCALE_ATTN = 19
+ROW_FC2_BIAS = 20
+ROW_SCALE_MLP = 21
+NUM_VEC_ROWS = 22
 # fc1 bias (length 4C) travels as its own (1, 4C) input: building it from
 # (4, C) vec rows needs a (4,C)->(1,4C) shape cast Mosaic only supports
 # when C is lane-aligned (failed at C=16).
@@ -117,19 +118,6 @@ def _erf(x):
 def _gelu_exact(x):
     """0.5 x (1 + erf(x / sqrt(2))) in f32 (jax.nn.gelu approximate=False)."""
     return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
-
-
-def _shift_rows(x, d):
-    """y[i, :] = x[i+d, :] with zero fill (axis -2)."""
-    if d == 0:
-        return x
-    t = x.shape[-2]
-    pad = [(0, 0)] * x.ndim
-    if d > 0:
-        pad[-2] = (0, d)
-        return jnp.pad(x[..., d:, :], pad)
-    pad[-2] = (-d, 0)
-    return jnp.pad(x[..., :t + d, :], pad)
 
 
 @functools.lru_cache(maxsize=16)
@@ -625,30 +613,12 @@ def pack_block_params(params, n_embd: int, cross: bool, cdtype):
         kern = attn[name]["kernel"]                 # (3, 1, C)
         return jnp.asarray(kern, jnp.float32).reshape(3, c)
 
-    rows = [
-        lnq_w, lnq_b, lnk_w, lnk_b, lnv_w, lnv_b,
-    ]
-    rows += list(conv_taps("query_conv"))
-    rows += list(conv_taps("key_conv"))
-    rows += list(conv_taps("value_conv"))
-    rows += [
-        vec(attn["query_norm"]["weight"]), vec(attn["query_norm"]["bias"]),
-        vec(attn["key_norm"]["weight"]), vec(attn["key_norm"]["bias"]),
-        vec(attn["value_norm"]["weight"]), vec(attn["value_norm"]["bias"]),
-        vec(attn["query"]["bias"]), vec(attn["key"]["bias"]),
-        vec(attn["value"]["bias"]), vec(attn["proj"]["bias"]),
-        vec(params["drop_path_attn"]["scale"]),
-        vec(params["ln2"]["weight"]), vec(params["ln2"]["bias"]),
-        vec(params["mlp_fc2"]["bias"]),
-        vec(params["drop_path_mlp"]["scale"]),
-    ]
-    vecs = jnp.stack(rows)
-
     # fold the post-conv LN affines (query_norm/key_norm/value_norm) and the
     # ln2 affine into the adjacent dense weights: LN_aff(y) @ W + b ==
     # LN_plain(y) @ (g*W) + (b_ln @ W + b). Pure reassociation — saves four
     # (T, C) affine passes per block in the kernel; the kernel/mirror call
-    # ln_plain at these sites.
+    # ln_plain at these sites, and the folded biases ride the Q/K/V bias rows
+    # (the raw affine vectors are never shipped).
     def fold(norm_w, norm_b, kernel, bias):
         wf = jnp.asarray(kernel, jnp.float32)
         g = jnp.asarray(norm_w, jnp.float32).reshape(-1)
@@ -664,9 +634,20 @@ def pack_block_params(params, n_embd: int, cross: bool, cdtype):
                       attn["value"]["kernel"], attn["value"]["bias"])
     wf1, fc1b_row = fold(params["ln2"]["weight"], params["ln2"]["bias"],
                          params["mlp_fc1"]["kernel"], params["mlp_fc1"]["bias"])
-    vecs = vecs.at[ROW_Q_BIAS].set(q_bias)
-    vecs = vecs.at[ROW_K_BIAS].set(k_bias)
-    vecs = vecs.at[ROW_V_BIAS].set(v_bias)
+
+    rows = [
+        lnq_w, lnq_b, lnk_w, lnk_b, lnv_w, lnv_b,
+    ]
+    rows += list(conv_taps("query_conv"))
+    rows += list(conv_taps("key_conv"))
+    rows += list(conv_taps("value_conv"))
+    rows += [
+        q_bias, k_bias, v_bias, vec(attn["proj"]["bias"]),
+        vec(params["drop_path_attn"]["scale"]),
+        vec(params["mlp_fc2"]["bias"]),
+        vec(params["drop_path_mlp"]["scale"]),
+    ]
+    vecs = jnp.stack(rows)
     fc1b = fc1b_row.reshape(1, 4 * c)
 
     wp = jnp.asarray(attn["proj"]["kernel"], cdtype)

@@ -85,7 +85,10 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     multihost = jax.process_count() > 1
     out = {}
     for key, value in batch.items():
-        if key == "video_ids":
+        if key == "video_ids" or key.startswith("_"):
+            # host-side metadata (video ids, pad_batch_to's _real_rows):
+            # pass through untouched so shard_batch(pad_batch_to(...))
+            # composes; jit callers still pop these before the step fn
             out[key] = value
         elif key == "streams" or key == "rows":
             out[key] = tuple(_put_global(v, sharding, multihost) for v in value)
@@ -130,7 +133,8 @@ def device_prefetch(batch_iter, mesh: Optional[Mesh] = None, depth: int = 2):
             return shard_batch(mesh, batch)
         out = {}
         for key, value in batch.items():
-            out[key] = value if key == "video_ids" else jax.device_put(value)
+            out[key] = value if key == "video_ids" or key.startswith("_") \
+                else jax.device_put(value)
         return out
 
     it = iter(batch_iter)
@@ -172,7 +176,10 @@ def pad_batch_to(batch: dict, target: int) -> dict:
             out[key] = tuple(pad_one(v) for v in value)
         elif key == "rows":     # pad with 1 row (not 0) so fps/stride math
             out[key] = tuple(pad_one(v, 1) for v in value)  # stays finite
-        elif key == "duration" and "streams" in batch:
+        elif key in ("fps", "duration", "feat_stride", "feat_num_frames"):
+            # pad with 1 (not 0): grid->seconds decode divides by these, and
+            # 0/0 = NaN on pad rows trips jax_debug_nans (AVDD_DEBUG_NANS=1)
+            # even though the rows are discarded
             out[key] = pad_one(value, 1)
         else:
             out[key] = pad_one(value)

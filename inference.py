@@ -141,10 +141,12 @@ def main(args):
     guard = PreemptionGuard()
 
     start = time.time()
-    results, _ = inference_one_epoch(
+    # collect_items=False: results stream to the JSON flushes only — holding
+    # a whole ~49k-video shard's items in memory would grow unboundedly
+    inference_one_epoch(
         batches(), infer_fn, params, output_folder=out_folder,
         flush_every=args.flush_every, print_freq=args.print_freq,
-        seen_offset=len(done), preempt=guard)
+        seen_offset=len(done), preempt=guard, collect_items=False)
     total = time.time() - start
     if guard.triggered:
         print(f"Shard {args.sub_index}: preempted after {total:.1f}s "

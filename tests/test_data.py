@@ -230,6 +230,44 @@ def test_config_system(tmp_path):
     assert tcfg.min_score == 0.2 and tcfg.nms_sigma == 0.75
 
 
+def test_config_empty_and_non_mapping_files(tmp_path):
+    """Empty / comments-only YAML -> pure defaults; a non-mapping file raises
+    a clear error instead of an opaque TypeError inside the merge."""
+    import pytest
+    from audio_visual_deepfake_detection_tpu.core import load_config
+    from audio_visual_deepfake_detection_tpu.core.config import default_config
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("# just a comment\n")
+    config = load_config(str(empty))
+    assert config["test_cfg"]["pre_nms_topk"] == \
+        default_config()["test_cfg"]["pre_nms_topk"]
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- a\n- b\n")
+    with pytest.raises(ValueError, match="mapping"):
+        load_config(str(bad))
+
+
+def test_test_config_defaults_match_config_defaults():
+    """A directly-constructed TestConfig must prune identically to a
+    config-loaded one (both mirror reference libs/core/config.py:104-116)."""
+    from audio_visual_deepfake_detection_tpu.core.config import default_config
+    from audio_visual_deepfake_detection_tpu.infer import TestConfig
+
+    t = default_config()["test_cfg"]
+    tc = TestConfig()
+    assert tc.pre_nms_thresh == t["pre_nms_thresh"]
+    assert tc.pre_nms_topk == t["pre_nms_topk"]
+    assert tc.iou_threshold == t["iou_threshold"]
+    assert tc.min_score == t["min_score"]
+    assert tc.max_seg_num == t["max_seg_num"]
+    assert tc.nms_sigma == t["nms_sigma"]
+    assert tc.duration_thresh == t["duration_thresh"]
+    assert tc.multiclass_nms == t["multiclass_nms"]
+    assert tc.voting_thresh == t["voting_thresh"]
+
+
 def test_loader_propagates_collate_errors():
     """A collate/getitem exception must surface to the consumer, not hang the
     prefetch queue (found by driving inference.py with too-small stream caps)."""

@@ -84,6 +84,20 @@ def test_inference_to_submission_files(tmp_path, rng):
     # streamed flush produced at least one data*.json
     assert glob.glob(str(shard_dir / "data*.json"))
 
+    # collect_items=False (the sharded-sweep CLI mode): nothing retained in
+    # memory, identical flush files on disk
+    shard_dir2 = tmp_path / "nocollect"
+    r2, i2 = inference_one_epoch(
+        batches(), infer_fn, params, output_folder=str(shard_dir2),
+        flush_every=3, collect_items=False)
+    assert r2 is None and i2 is None
+    flushed = []
+    for f in sorted(glob.glob(str(shard_dir2 / "data*.json"))):
+        flushed.extend(json.load(open(f)))
+    assert len(flushed) == 4
+    assert sorted(it["video_id"] for it in flushed) == \
+        sorted(it["video_id"] for it in items)
+
     n_txt, n_json = generate_results(str(tmp_path), num_shards=1)
     assert n_txt == 4 and n_json == 4
     blob = json.load(open(tmp_path / "prediction.json"))

@@ -126,6 +126,45 @@ def test_service_buckets_match_full_batch(rng):
     np.testing.assert_allclose(b.video_cls, a.video_cls, atol=1e-5)
 
 
+def test_service_rejects_malformed_submit_and_survives(rng):
+    """Shape validation happens in submit() (caller's thread): malformed
+    requests raise immediately instead of poisoning the shared batch, and the
+    worker keeps serving well-formed requests afterwards."""
+    import pytest
+
+    cfg = ArchConfig(
+        variant="av_recovery_norecon", input_dim=24, num_classes=1,
+        max_seq_len=96, embd_dim=32, fpn_dim=32, head_dim=32, n_head=2,
+        arch=(1, 1, 2), mha_win_size=(5, 5, -1),
+        regression_range=((0, 4), (4, 8), (8, 10000)), droppath=0.1,
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.001, pre_nms_topk=2000, min_score=0.001,
+                      max_seg_num=10, nms_method="soft", nms_sigma=0.75,
+                      duration_thresh=0.001, multiclass_nms=False,
+                      voting_thresh=0.9)
+    params, _ = init_model(cfg, 2, 0)
+    service = LocalizerService(cfg, tcfg, params, batch_size=2, max_wait_ms=5)
+    try:
+        with pytest.raises(ValueError, match="feats"):   # wrong channel dim
+            service.submit(np.zeros((96, 23), np.float32), 25.0, 3.8, 0.3)
+        with pytest.raises(ValueError, match="max_seq_len"):  # too long
+            service.submit(np.zeros((97, 24), np.float32), 25.0, 3.8, 0.3)
+        with pytest.raises(ValueError, match="mask"):    # mask/feats mismatch
+            service.submit(np.zeros((40, 24), np.float32), 25.0, 3.8, 0.3,
+                           mask=np.ones(17, bool))
+        # short mask matching the unpadded length is padded like feats
+        short = service.submit(
+            rng.standard_normal((40, 24)).astype(np.float32),
+            25.0, 3.8, 0.3, mask=np.ones(40, bool))
+        assert short.result(timeout=300).segments.ndim == 2
+        # the worker is alive and still answers
+        ok = service.submit(rng.standard_normal((96, 24)).astype(np.float32),
+                            25.0, 3.8, 0.3)
+        assert ok.result(timeout=300).segments.ndim == 2
+    finally:
+        assert service.stop() is True  # drained within the test
+
+
 def test_service_stop_drains_and_rejects(rng):
     """stop() answers everything already queued, is idempotent, and a submit
     after stop raises instead of hanging forever."""

@@ -153,6 +153,39 @@ def test_padded_batch_losses(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_pad_batch_metadata_finite_and_composes(rng):
+    """Eval-path pad rows fill fps/duration/feat_stride/feat_num_frames with
+    1 (not 0), keeping the grid->seconds decode finite for discarded rows
+    (0/0 = NaN would trip AVDD_DEBUG_NANS at the final partial batch); and
+    shard_batch(pad_batch_to(...)) composes — underscore metadata passes
+    through instead of crashing device_put."""
+    from audio_visual_deepfake_detection_tpu.parallel import (
+        make_mesh, pad_batch_to, shard_batch)
+
+    batch = {
+        "feats": rng.standard_normal((3, 16, 8)).astype(np.float32),
+        "mask": np.ones((3, 16), bool),
+        "fps": np.full((3,), 25.0, np.float32),
+        "duration": np.full((3,), 4.0, np.float32),
+        "feat_stride": np.full((3,), 0.3, np.float32),
+        "feat_num_frames": np.full((3,), 0.3, np.float32),
+        "video_ids": ["a", "b", "c"],
+    }
+    padded = pad_batch_to(dict(batch), 8)
+    for key in ("fps", "duration", "feat_stride", "feat_num_frames"):
+        assert padded[key][3:].tolist() == [1.0] * 5, key
+        # grid->seconds on pad rows stays finite
+        assert np.isfinite((0.0 * padded[key] + 0.5 * padded[key])
+                           / padded[key]).all()
+    assert padded["mask"][3:].sum() == 0
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, padded)  # must not raise on _real_rows
+    assert sharded["_real_rows"] == 3
+    assert sharded["video_ids"] == ["a", "b", "c"]
+    assert sharded["feats"].shape == (8, 16, 8)
+
+
 def test_padded_batch_losses_the_variant(rng):
     """Same invariant for the THE variant's frame-seg focal (batch-summed)."""
     import dataclasses
