@@ -60,6 +60,19 @@ from .band_attention import _shift_rows
 # kernels — restart to flip).
 BAND_VIA_DENSE = os.environ.get("AVDD_BAND_DENSE", "0") == "1"
 
+# Packed-lane softmax for the banded attention: all (2w+1) offsets x n_head
+# heads live in one (T, 128) lane space (lane = group*n_head + head), so the
+# softmax runs ONE f32 exp pass instead of 2w+1, the per-class max is a
+# log2(128/n_head) lane-roll butterfly, and the denominator is a single
+# (128, 128) one-hot class-sum matmul. Score/value matmul count is unchanged
+# (the per-offset one-hot matrices place each offset in its own lane group
+# for free). Requires n_head to be a power of two with (2w+1)*n_head <= 128.
+# Bit-identical to the per-offset path and MEASURED NEUTRAL at the production
+# geometry (w=3, H=4, B=512 bf16: 1.00x — the (T, 128) softmax glue it
+# removes is not where the time goes; see BENCH_NOTES round 3). Kept opt-in
+# for wide-window geometries where 2w+1 exp passes would actually bite.
+PACKED_SOFTMAX = os.environ.get("AVDD_PACKED_SOFTMAX", "0") == "1"
+
 NEG_INF = -1e30      # band/sequence edge: effectively -inf, NaN-safe
 LN_EPS = 1e-5
 
@@ -120,6 +133,44 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
+# Division-free gelu for the bf16 compute path. The rational _erf's VPU
+# division dominates its cost (measured 2.6 ms/block at B=512; this
+# polynomial runs the same site at ~1.2 ms — every extra op on the (T, 4C)
+# hidden costs ~0.2 ms/block, so the degree is kept minimal). Minimax deg-7
+# polynomial for erf(y)/y in t = y^2/4 - 1 (y = x/sqrt2 clamped to
+# [-2.83, 2.83]), weighted by the gelu-space error |0.5 x (approx - erf)|:
+# max err 3.8e-5 in range; past the clamp the erf factor saturates at
+# erf(2.83) = 0.999937, i.e. 3.2e-5 relative on the positive tail and
+# |err| <= 3.2e-5 |x| absolute on the (~zero) negative tail. All of it is
+# far below bf16 activation rounding (~4e-3 relative), so bf16 outputs are
+# indistinguishable from _gelu_exact. The centered variable keeps f32 Horner
+# conditioned (monomials in y^2 lose ~4e-4 to cancellation). f32 mode keeps
+# _gelu_exact: its tests assert 2e-5 parity against jax.nn.gelu.
+_GELU_T_COEFFS = (
+    0.49765539169311523, -0.23859895765781403, 0.1585356444120407,
+    -0.10322453081607819, 0.06115540862083435, -0.03750486299395561,
+    0.023225031793117523, -0.007718835957348347,
+)
+
+
+def _gelu_cheap(x):
+    """f32 in/out; gelu = 0.5x + 0.5 x erf(y) with erf(y) = y * P(t)."""
+    xc = jnp.clip(x, -4.0, 4.0)
+    t = xc * xc * np.float32(1.0 / 8.0) + np.float32(-1.0)
+    p = jnp.float32(_GELU_T_COEFFS[-1])
+    for cc in _GELU_T_COEFFS[-2::-1]:
+        p = p * t + jnp.float32(cc)
+    # 0.5 * x * erf(y) = 0.5 * x * (xc / sqrt2) * P = 0.35355 * x * xc * P
+    return np.float32(0.5) * x + np.float32(np.sqrt(2.0) / 4.0) * x * (xc * p)
+
+
+def _gelu(x, cdtype):
+    """Dispatch: cheap polynomial under bf16 rounding, exact rational in f32."""
+    if cdtype == jnp.bfloat16:
+        return _gelu_cheap(x)
+    return _gelu_exact(x)
+
+
 @functools.lru_cache(maxsize=16)
 def _head_mats_np(n_embd: int, n_head: int):
     d_head = n_embd // n_head
@@ -131,18 +182,72 @@ def _head_mats_np(n_embd: int, n_head: int):
     return red, exp
 
 
-def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
+def _packed_eligible(n_head: int, w: int) -> bool:
+    return (n_head & (n_head - 1)) == 0 and (2 * w + 1) * n_head <= 128
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_mats_np(n_embd: int, n_head: int, w: int):
+    """Per-offset one-hot matrices placing offset group g = d + w at lanes
+    [g*n_head, (g+1)*n_head): red_all[g] reduces head channels into that
+    group's lanes, exp_all[g] broadcasts the group's probabilities back to
+    head channels; gmat places the (T, 2w+1) shifted kv penalties; smat sums
+    exp values across each lane's head class (lane % n_head)."""
+    d_head = n_embd // n_head
+    n_off = 2 * w + 1
+    c = np.arange(n_embd)
+    red_all = np.zeros((n_off, n_embd, 128), np.float32)
+    exp_all = np.zeros((n_off, 128, n_embd), np.float32)
+    for g in range(n_off):
+        red_all[g, c, g * n_head + c // d_head] = 1.0
+        exp_all[g, g * n_head + c // d_head, c] = 1.0
+    gmat = np.zeros((n_off, 128), np.float32)
+    for g in range(n_off):
+        gmat[g, g * n_head:(g + 1) * n_head] = 1.0
+    lane = np.arange(128)
+    smat = (lane[:, None] % n_head == lane[None, :] % n_head).astype(np.float32)
+    return red_all, exp_all, gmat, smat
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_ok_np(t: int, n_head: int, w: int):
+    """(T, 128) additive validity mask: 0 where lane (group g = lane//n_head,
+    offset d = g - w) points at a real key row, NEG_INF outside the band /
+    sequence or beyond the (2w+1)*n_head used lanes."""
+    lane = np.arange(128)[None, :]
+    row = np.arange(t)[:, None]
+    d = lane // n_head - w
+    ok = (lane < (2 * w + 1) * n_head) & (row + d >= 0) & (row + d < t)
+    return np.where(ok, 0.0, NEG_INF).astype(np.float32)
+
+
+def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype,
+                 packed: bool):
     """mode: 'self' (k = v = q stream), 'kv' (k = v = other stream),
     'qv_k' (k = other stream, v = q stream), 'ds_self' (stride-2 self block:
     x_ref/xo_ref carry the even/odd rows of the full-res stream, t is the
-    downsampled length)."""
+    downsampled length). ``packed``: packed-lane softmax (see PACKED_SOFTMAX)."""
 
-    def ln_plain(x):
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        r = xf - mu
-        s2 = jnp.mean(r * r, axis=-1, keepdims=True)
-        return r * jax.lax.rsqrt(s2 + LN_EPS)
+    if cdtype == jnp.bfloat16:
+        # one-pass moments (E[x^2] - mu^2): saves a full (T, C) pass per LN
+        # site (6 sites/block, measured ~0.24 ms/block at B=512). The
+        # cancellation error (~1.2e-7 * (mu/sigma)^2 relative on the
+        # variance) is under bf16 rounding for any plausible activation
+        # statistics; f32 mode keeps the two-pass form for 2e-5 parity.
+        def ln_plain(x):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            rs = jax.lax.rsqrt(
+                jnp.maximum(m2 - mu * mu, 0.0) + LN_EPS)
+            return xf * rs - mu * rs
+    else:
+        def ln_plain(x):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            r = xf - mu
+            s2 = jnp.mean(r * r, axis=-1, keepdims=True)
+            return r * jax.lax.rsqrt(s2 + LN_EPS)
 
     def ln(x, vecs, row_w, row_b):
         # affine LN; the qn/kn/vn and ln2 affines are folded into the
@@ -162,7 +267,7 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
 
     def kernel(x_ref, xo_ref, m_ref, mT_ref, coef_ref, vecs_ref, wq_ref,
                wk_ref, wv_ref, wp_ref, wf1_ref, wf2_ref, fc1b_ref, red_ref,
-               exp_ref, out_ref):
+               exp_ref, pen_ref, ok_ref, g_ref, s_ref, out_ref):
         x = x_ref[0]                       # (T, C) cdtype
         vecs = vecs_ref[...]               # (NV, C) f32
         mvalid = m_ref[0].astype(jnp.float32)  # (T, 1)
@@ -276,6 +381,38 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
                     p, v * hm, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(cdtype)
             ctx = ctx * mvalid_c
+        elif packed:
+            # --- banded attention, packed-lane softmax ---
+            # identical math to the per-offset branch below; lane layout
+            # group*n_head + head lets one exp / one class-sum matmul / one
+            # roll-butterfly max serve all 2w+1 offsets at once.
+            acc = jnp.zeros((t, 128), jnp.float32)
+            for g, d in enumerate(range(-w, w + 1)):
+                e = q * _shift_rows(k, d)
+                acc = acc + jnp.dot(e, red_ref[g],
+                                    preferred_element_type=jnp.float32)
+            # per-offset downcast == one downcast: lane groups are disjoint
+            s_c = acc.astype(cdtype)
+            # shifted kv penalties arrive as (T, 2w+1); gmat places group g
+            # at its n_head lanes (compute-dtype add like the branch below)
+            pen_pk = jnp.dot(pen_ref[0], g_ref[...],
+                             preferred_element_type=jnp.float32).astype(cdtype)
+            sf = (s_c + pen_pk).astype(jnp.float32) + ok_ref[...]
+            # class max: roll-butterfly over lanes == head (mod n_head)
+            mx = sf
+            st = n_head
+            while st < 128:
+                mx = jnp.maximum(mx, pltpu.roll(mx, st, axis=1))
+                st *= 2
+            e_all = jnp.exp(sf - mx)
+            den = jnp.dot(e_all, s_ref[...],
+                          preferred_element_type=jnp.float32)
+            p = (e_all * (1.0 / den)).astype(cdtype)
+            ctx = jnp.zeros((t, c), cdtype)
+            for g, d in enumerate(range(-w, w + 1)):
+                ctx = ctx + cdot(p, exp_ref[g]) * _shift_rows(v, d)
+            # NaN guard: zero invalid query rows (blocks.py:766-767)
+            ctx = ctx * mvalid_c
         else:
             # --- banded attention: per-offset head-reduced scores ---
             # scores in the compute dtype like ops/attention.py::
@@ -321,7 +458,7 @@ def _make_kernel(t: int, c: int, n_head: int, w: int, mode: str, cdtype):
         # --- conv-MLP ---
         h = ln_plain(y1).astype(cdtype)
         h = cdot(h, wf1_ref[...]) + fc1b_ref[...].astype(cdtype)
-        h = _gelu_exact(h.astype(jnp.float32)).astype(cdtype)
+        h = _gelu(h.astype(jnp.float32), cdtype).astype(cdtype)
         h = cdot(h, wf2_ref[...]) + vecs[ROW_FC2_BIAS][None, :].astype(cdtype)
         h = h * mvalid_c
         y = y1 + h * (vecs[ROW_SCALE_MLP][None, :] * coef_mlp).astype(cdtype)
@@ -350,9 +487,6 @@ def fused_transformer_block(
 ) -> jnp.ndarray:
     b, t, c = x.shape
     cdtype = x.dtype
-    red_np, exp_np = _head_mats_np(c, n_head)
-    red = jnp.asarray(red_np, cdtype)
-    exp_m = jnp.asarray(exp_np, cdtype)
     mrow = mask.astype(jnp.float32)[..., None]      # (B, T, 1)
     mrowT = mask.astype(jnp.float32)[:, None, :]    # (B, 1, T) for dense
     if xo is None:
@@ -360,7 +494,39 @@ def fused_transformer_block(
     if coefs is None:
         coefs = jnp.ones((b, 2), jnp.float32)
 
-    kernel = _make_kernel(t, c, n_head, w_overlap, mode, cdtype)
+    w = w_overlap
+    packed = (PACKED_SOFTMAX and w > 0 and not BAND_VIA_DENSE
+              and _packed_eligible(n_head, w))
+    if packed:
+        n_off = 2 * w + 1
+        red_np, exp_np, g_np, s_np = _packed_mats_np(c, n_head, w)
+        red = jnp.asarray(red_np, cdtype)
+        exp_m = jnp.asarray(exp_np, cdtype)
+        gmat = jnp.asarray(g_np, cdtype)
+        smat = jnp.asarray(s_np, jnp.float32)
+        ok_add = jnp.asarray(_packed_ok_np(t, n_head, w), jnp.float32)
+        # shifted kv penalties, one lane per offset (cheap fused XLA prologue)
+        pen_col = ((mrow - 1.0) * (-NEG_PENALTY)).astype(cdtype)  # (B, T, 1)
+        penp = jnp.concatenate(
+            [_shift_rows(pen_col, d) for d in range(-w, w + 1)], axis=-1)
+        red_spec, exp_spec = ((n_off, c, 128),), ((n_off, 128, c),)
+        pen_spec = pl.BlockSpec((1, t, n_off), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        ok_spec, g_spec, s_spec = ((t, 128),), ((n_off, 128),), ((128, 128),)
+    else:
+        red_np, exp_np = _head_mats_np(c, n_head)
+        red = jnp.asarray(red_np, cdtype)
+        exp_m = jnp.asarray(exp_np, cdtype)
+        gmat = jnp.zeros((1, 1), cdtype)
+        smat = jnp.zeros((1, 1), jnp.float32)
+        ok_add = jnp.zeros((1, 1), jnp.float32)
+        penp = jnp.zeros((1, 1, 1), cdtype)
+        red_spec, exp_spec = ((c, 128),), ((128, c),)
+        pen_spec = pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        ok_spec, g_spec, s_spec = ((1, 1),), ((1, 1),), ((1, 1),)
+
+    kernel = _make_kernel(t, c, n_head, w_overlap, mode, cdtype, packed)
     xspec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     xospec = (xspec if mode != "self" else
               pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM))
@@ -379,7 +545,8 @@ def fused_transformer_block(
             wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
             wspec((c, 4 * c)), wspec((4 * c, c)),
             wspec((1, 4 * c)),
-            wspec((c, 128)), wspec((128, c)),
+            wspec(red_spec[0]), wspec(exp_spec[0]),
+            pen_spec, wspec(ok_spec[0]), wspec(g_spec[0]), wspec(s_spec[0]),
         ],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b, t, c), cdtype),
@@ -389,7 +556,7 @@ def fused_transformer_block(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, xo, mrow, mrowT, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b, red,
-      exp_m)
+      exp_m, penp, ok_add, gmat, smat)
 
 
 def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
@@ -410,19 +577,24 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
     coef_attn = coefs[:, 0][:, None, None]           # (B, 1, 1)
     coef_mlp = coefs[:, 1][:, None, None]
 
-    def ln_plain(xx):
-        xf = xx.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        r = xf - mu
-        s2 = jnp.mean(r * r, axis=-1, keepdims=True)
-        return r * jax.lax.rsqrt(s2 + LN_EPS)
+    if cdtype == jnp.bfloat16:
+        # one-pass moments, matching the kernel's bf16 ln_plain exactly
+        def ln_plain(xx):
+            xf = xx.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            rs = jax.lax.rsqrt(jnp.maximum(m2 - mu * mu, 0.0) + LN_EPS)
+            return xf * rs - mu * rs
+    else:
+        def ln_plain(xx):
+            xf = xx.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            r = xf - mu
+            s2 = jnp.mean(r * r, axis=-1, keepdims=True)
+            return r * jax.lax.rsqrt(s2 + LN_EPS)
 
     def ln(xx, row_w, row_b):
-        xf = xx.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        r = xf - mu
-        s2 = jnp.mean(r * r, axis=-1, keepdims=True)
-        y = r * jax.lax.rsqrt(s2 + LN_EPS)
+        y = ln_plain(xx)
         return y * vecs[row_w][None, None, :] + vecs[row_b][None, None, :]
 
     def dwconv(xx, row0):
@@ -544,7 +716,7 @@ def block_math(x, xo, mrow, coefs, vecs, wq, wk, wv, wp, wf1, wf2, fc1b,
 
     h = ln_plain(y1).astype(cdtype)
     h = cdot(h, wf1) + fc1b[0].astype(cdtype)
-    h = _gelu_exact(h.astype(jnp.float32)).astype(cdtype)
+    h = _gelu(h.astype(jnp.float32), cdtype).astype(cdtype)
     h = cdot(h, wf2) + vecs[ROW_FC2_BIAS].astype(cdtype)
     h = h * mvalid_c
     y = y1 + h * (vecs[ROW_SCALE_MLP][None, None, :] * coef_mlp).astype(cdtype)

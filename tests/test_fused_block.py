@@ -333,3 +333,95 @@ def test_dense_block_math_matches_kernel(rng, mode):
         n_head=H, w_overlap=-1, mode=mode)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["self", "kv", "qv_k", "ds_self"])
+def test_packed_softmax_matches_per_offset(rng, mode, monkeypatch):
+    """The packed-lane softmax (PACKED_SOFTMAX) is bit-compatible with the
+    per-offset banded path (same math, one (T, 128) lane space)."""
+    mask = _mask(True)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    xo = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    mf = mask.astype(jnp.float32)[..., None]
+    x, xo = x * mf, xo * mf
+    cross = mode in ("kv", "qv_k")
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                             ds_stride=2 if mode == "ds_self" else 1,
+                             cross=cross, deterministic=True)
+    kw = ({} if not cross else
+          dict(x_k=xo, mask_k=mask, x_v=xo if mode == "kv" else x,
+               mask_v=mask))
+    params = block.init(jax.random.PRNGKey(0), x, mask, **kw)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    packed = fused_block.pack_block_params(p, C, cross, x.dtype)
+    if mode == "ds_self":
+        args = (x[:, 0::2], x[:, 1::2], mask[:, 0::2])
+    else:
+        args = (x, xo if cross else None, mask)
+
+    monkeypatch.setattr(fused_block, "PACKED_SOFTMAX", False)
+    ref = fused_block.fused_transformer_block(
+        *args, *packed, n_head=H, w_overlap=WIN // 2, mode=mode,
+        interpret=True)
+    monkeypatch.setattr(fused_block, "PACKED_SOFTMAX", True)
+    got = fused_block.fused_transformer_block(
+        *args, *packed, n_head=H, w_overlap=WIN // 2, mode=mode,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_gelu_cheap_accuracy():
+    """bf16-mode gelu polynomial: abs err <= 5e-5 in the clamp range, tail
+    relative err <= 1e-4, and bf16 outputs within 1 ulp of exact gelu."""
+    xs = np.linspace(-12.0, 12.0, 400001).astype(np.float32)
+    got = np.asarray(fused_block._gelu_cheap(jnp.asarray(xs)))
+    exact = np.asarray(jax.nn.gelu(jnp.asarray(xs), approximate=False))
+    err = np.abs(got.astype(np.float64) - exact.astype(np.float64))
+    in_range = np.abs(xs) <= 4.0
+    assert err[in_range].max() <= 5e-5
+    tail_rel = err[~in_range] / np.maximum(np.abs(xs[~in_range]) * 0.5, 1e-9)
+    assert tail_rel.max() <= 1e-4
+    # everywhere: abs err bounded by the clamp saturation (~0.5|x|(1-erf(2.83)))
+    assert err.max() <= 5e-4
+    # where the output is material, bf16 results agree to <= 1 ulp
+    b_got = got.astype(jnp.bfloat16).astype(np.float64)
+    b_ex = exact.astype(jnp.bfloat16).astype(np.float64)
+    d = np.abs(b_got - b_ex)
+    # one real bf16 ulp everywhere material: the |b_ex| * 2^-8 estimate
+    # understates the spacing by 2x just below power-of-two boundaries (and a
+    # sub-ulp error can flip a boundary value to its neighbor), hence the 2x
+    # factor; below |g|=0.05 the fixed 3.8e-5 budget is several local ulps —
+    # still noise at the fc2 sum whose terms are O(0.1-1)
+    ulp = np.abs(b_ex) * 2.0 ** -8
+    material = np.abs(exact) >= 0.05
+    assert (d[material] <= 2.0 * ulp[material] + 1e-12).all()
+
+
+def test_bf16_kernel_matches_mirror(rng):
+    """bf16 compute dtype: kernel (with the cheap gelu) == block_math mirror
+    (same ops, same dtype policy) — the train-path vjp stays consistent."""
+    mask = _mask(True)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.bfloat16)
+    mf = mask.astype(jnp.bfloat16)[..., None]
+    x = x * mf
+    block = TransformerBlock(n_embd=C, n_head=H, window_size=WIN,
+                             deterministic=True)
+    params = block.init(jax.random.PRNGKey(0),
+                        x.astype(jnp.float32), mask)
+    p = jax.device_get(params["params"])
+    p["drop_path_attn"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    p["drop_path_mlp"]["scale"] = rng.standard_normal(C).astype(np.float32)
+    packed = fused_block.pack_block_params(p, C, False, jnp.bfloat16)
+    got = fused_block.fused_transformer_block(
+        x, None, mask, *packed, n_head=H, w_overlap=WIN // 2, mode="self",
+        interpret=True)
+    ref = fused_block.block_math(
+        x, x[:, :1, :1], mask.astype(jnp.float32)[..., None],
+        jnp.ones((B, 2), jnp.float32), *packed,
+        n_head=H, w_overlap=WIN // 2, mode="self")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
