@@ -13,6 +13,8 @@ reference's (mel-major: index = mel_bin * 64 + channel) so fc weights convert
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -22,41 +24,47 @@ from .mel import byola_log_mel
 
 class ConvBNBlock(nn.Module):
     features: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, T, M, C)
-        x = nn.Conv(self.features, (3, 3), padding=1, name="conv")(x)
-        # eval-mode BatchNorm with stored statistics
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x)
+        # eval-mode BatchNorm with stored statistics (f32 affine math; the
+        # result is cast back to the compute dtype for pool/next conv)
         mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
         var = self.param("bn_var", nn.initializers.ones, (self.features,))
         scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
         bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
-        x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        x = ((x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias).astype(
+            self.dtype)
         x = jax.nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return x
 
 
 class AudioNTT2020(nn.Module):
-    """(B, T, n_mels) log-mel -> (B, T//8, d) features."""
+    """(B, T, n_mels) log-mel -> (B, T//8, d) features (f32 out); the log-mel
+    frontend itself stays f32 (DFT + log precision)."""
 
     n_mels: int = 64
     d: int = 2048
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, lms: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = lms[..., None]                        # (B, T, M, 1)
-        x = ConvBNBlock(name="block0")(x)
-        x = ConvBNBlock(name="block1")(x)
-        x = ConvBNBlock(name="block2")(x)         # (B, T/8, M/8, 64)
+        x = ConvBNBlock(dtype=self.dtype, name="block0")(x)
+        x = ConvBNBlock(dtype=self.dtype, name="block1")(x)
+        x = ConvBNBlock(dtype=self.dtype, name="block2")(x)  # (B,T/8,M/8,64)
         b, t, m, c = x.shape
         # reference flatten: (B, T, mel, ch) -> (B, T, mel*ch), mel-major
         x = x.reshape(b, t, m * c)
-        x = nn.Dense(self.d, name="fc1")(x)
+        x = nn.Dense(self.d, dtype=self.dtype, name="fc1")(x)
         x = jax.nn.relu(x)
         x = nn.Dropout(0.3)(x, deterministic=not train)
-        x = nn.Dense(self.d, name="fc2")(x)
-        return jax.nn.relu(x)
+        x = nn.Dense(self.d, dtype=self.dtype, name="fc2")(x)
+        return jax.nn.relu(x).astype(jnp.float32)
 
 
 def byola_features(params, wav: jnp.ndarray, model: AudioNTT2020 = None) -> jnp.ndarray:

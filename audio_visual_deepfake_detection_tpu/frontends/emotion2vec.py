@@ -29,12 +29,18 @@ its saved config; ``convert_emotion2vec_torch`` maps fairseq weights in.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+# Mixed-precision policy (matching the localizer's): params live in f32;
+# ``dtype=bfloat16`` runs the matmuls/convs on the MXU in bf16 while flax
+# normalization layers still compute their statistics in f32 and the
+# attention softmax is cast to f32 explicitly. dtype=float32 is bit-identical
+# to the pre-dtype module (flax dtype=None on f32 inputs).
 
 CONV_SPEC: Tuple[Tuple[int, int, int], ...] = (
     (512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2),
@@ -66,14 +72,15 @@ class ConvFeatureExtractor(nn.Module):
     """fairseq ConvFeatureExtractionModel, mode='layer_norm', no conv bias."""
 
     spec: Tuple[Tuple[int, int, int], ...] = CONV_SPEC
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         x = wav[..., None]  # (B, L, 1)
         for i, (dim, k, s) in enumerate(self.spec):
             x = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
-                        name=f"conv_{i}")(x)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln_{i}")(x)
             x = jax.nn.gelu(x, approximate=False)
         return x  # (B, T', 512)
 
@@ -81,23 +88,25 @@ class ConvFeatureExtractor(nn.Module):
 class AltAttention(nn.Module):
     dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, padding_mask=None, alibi_bias=None):
         b, n, c = x.shape
         d = c // self.num_heads
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * (d ** -0.5), qkv[1], qkv[2]
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                         preferred_element_type=jnp.float32)
         if alibi_bias is not None:
             att = att + alibi_bias
         if padding_mask is not None:
             att = jnp.where(padding_mask[:, None, None, :], -jnp.inf, att)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class AltBlock(nn.Module):
@@ -107,16 +116,20 @@ class AltBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, padding_mask=None, alibi_bias=None):
-        x = x + AltAttention(self.dim, self.num_heads, name="attn")(
-            x, padding_mask, alibi_bias)
-        r = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(r)
+        x = x + AltAttention(self.dim, self.num_heads, dtype=self.dtype,
+                             name="attn")(x, padding_mask, alibi_bias)
+        r = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm1")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(r)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
-        return nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(r + h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                            name="norm2")(r + h)
 
 
 def alibi_slopes(n_heads: int) -> np.ndarray:
@@ -141,15 +154,16 @@ def alibi_bias(n_heads: int, t: int) -> np.ndarray:
 
 class Emotion2Vec(nn.Module):
     cfg: Emotion2VecConfig = Emotion2VecConfig()
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray,
                  padding_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """(B, L) 16 kHz waveform -> (B, T', 768) @ 50 Hz."""
+        """(B, L) 16 kHz waveform -> (B, T', 768) @ 50 Hz (f32 out)."""
         c = self.cfg
-        x = ConvFeatureExtractor(name="local_encoder")(wav)
-        x = nn.LayerNorm(epsilon=1e-5, name="proj_ln")(x)
-        x = nn.Dense(c.embed_dim, name="proj")(x)
+        x = ConvFeatureExtractor(dtype=self.dtype, name="local_encoder")(wav)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="proj_ln")(x)
+        x = nn.Dense(c.embed_dim, dtype=self.dtype, name="proj")(x)
 
         if padding_mask is not None:
             # recompute the frame-level padding mask (audio.py:140-175)
@@ -166,8 +180,9 @@ class Emotion2Vec(nn.Module):
         for i in range(c.conv_pos_depth):
             pos = nn.Conv(c.embed_dim, (kk,), padding=kk // 2,
                           feature_group_count=c.conv_pos_groups,
-                          name=f"pos_conv_{i}")(pos)
-            pos = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)(pos)
+                          dtype=self.dtype, name=f"pos_conv_{i}")(pos)
+            pos = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
+                               dtype=self.dtype)(pos)
             pos = jax.nn.gelu(pos, approximate=False)
         x = x + pos
 
@@ -181,7 +196,8 @@ class Emotion2Vec(nn.Module):
             extra = self.param("extra_tokens", nn.initializers.zeros,
                                (1, c.num_extra_tokens, c.embed_dim))
             x = jnp.concatenate(
-                [jnp.tile(extra, (x.shape[0], 1, 1)), x], axis=1)
+                [jnp.tile(extra, (x.shape[0], 1, 1)).astype(x.dtype), x],
+                axis=1)
             if padding_mask is not None:
                 pad = jnp.zeros((x.shape[0], c.num_extra_tokens), bool)
                 padding_mask = jnp.concatenate([pad, padding_mask], axis=1)
@@ -190,15 +206,18 @@ class Emotion2Vec(nn.Module):
                 ab = jnp.pad(ab, ((0, 0), (0, 0), (num, 0), (num, 0)))
 
         # prenet ("context encoder"): post-norm config applies LN first
-        x = nn.LayerNorm(epsilon=c.norm_eps, name="prenet_norm")(x)
+        x = nn.LayerNorm(epsilon=c.norm_eps, dtype=self.dtype,
+                         name="prenet_norm")(x)
         for i in range(c.prenet_depth):
             x = AltBlock(c.embed_dim, c.num_heads, c.mlp_ratio, c.norm_eps,
-                         name=f"prenet_{i}")(x, padding_mask, ab)
+                         dtype=self.dtype, name=f"prenet_{i}")(
+                             x, padding_mask, ab)
         for i in range(c.depth):
             x = AltBlock(c.embed_dim, c.num_heads, c.mlp_ratio, c.norm_eps,
-                         name=f"block_{i}")(x, padding_mask, ab)
+                         dtype=self.dtype, name=f"block_{i}")(
+                             x, padding_mask, ab)
 
-        return x[:, c.num_extra_tokens:]
+        return x[:, c.num_extra_tokens:].astype(jnp.float32)
 
 
 def convert_emotion2vec_torch(state_dict, template, cfg: Emotion2VecConfig = None):

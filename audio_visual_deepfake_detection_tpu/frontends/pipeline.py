@@ -42,17 +42,26 @@ CACHE_DIR_NAMES = {"video": "align_video", "byola": "content_audio",
 
 
 class FeatureExtractor:
-    """Batched jit feature extraction for all three streams."""
+    """Batched jit feature extraction for all three streams.
+
+    ``compute_dtype='bfloat16'`` runs the default encoders' convs/matmuls in
+    bf16 on the MXU (params stay f32, norm statistics f32, softmax f32 —
+    the localizer's mixed-precision policy); outputs are always f32.
+    Explicitly passed models keep whatever dtype they were built with."""
 
     def __init__(self, params: Optional[FrontendParams] = None,
                  emotion_cfg: Emotion2VecConfig = Emotion2VecConfig(),
                  video_chunk: int = 512, seed: int = 0,
                  video_model: Optional[C3DVideoEncoder] = None,
                  byola_model: Optional[AudioNTT2020] = None,
-                 emotion_model: Optional[Emotion2Vec] = None):
-        self.video_model = video_model or C3DVideoEncoder()
-        self.byola_model = byola_model or AudioNTT2020()
-        self.emotion_model = emotion_model or Emotion2Vec(emotion_cfg)
+                 emotion_model: Optional[Emotion2Vec] = None,
+                 compute_dtype: str = "float32"):
+        dtype = jnp.dtype(compute_dtype)
+        self.compute_dtype = dtype
+        self.video_model = video_model or C3DVideoEncoder(dtype=dtype)
+        self.byola_model = byola_model or AudioNTT2020(dtype=dtype)
+        self.emotion_model = emotion_model or Emotion2Vec(emotion_cfg,
+                                                          dtype=dtype)
         self.video_chunk = video_chunk
         self._seed = seed
         # lazy per-stream init: random weights are materialized (via a jitted

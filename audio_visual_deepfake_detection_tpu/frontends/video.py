@@ -18,7 +18,7 @@ MXU contractions.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import numpy as np
 import jax
@@ -31,10 +31,12 @@ class Conv3dLReLU(nn.Module):
     build_activation=LeakyReLU, negative_slope 0.01)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3, 3), padding=1, name="conv")(x)
+        x = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x)
         return nn.leaky_relu(x, 0.01)
 
 
@@ -49,33 +51,36 @@ class C3DVideoEncoder(nn.Module):
 
     n_features: Tuple[int, int, int, int] = (64, 96, 128, 128)
     out_dim: int = 256
+    # bf16 runs the Conv3d stack on the MXU in bf16 (params stay f32);
+    # output is cast back to f32 for the cache/dataset layer
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
         d0, d1, d2, d3 = self.n_features
-        x = Conv3dLReLU(d0, name="b0c0")(video)
-        x = Conv3dLReLU(d0, name="b0c1")(x)
+        x = Conv3dLReLU(d0, dtype=self.dtype, name="b0c0")(video)
+        x = Conv3dLReLU(d0, dtype=self.dtype, name="b0c1")(x)
         x = _max_pool_thw(x, (1, 3, 3))          # 96 -> 32
 
-        x = Conv3dLReLU(d1, name="b1c0")(x)
-        x = Conv3dLReLU(d1, name="b1c1")(x)
+        x = Conv3dLReLU(d1, dtype=self.dtype, name="b1c0")(x)
+        x = Conv3dLReLU(d1, dtype=self.dtype, name="b1c1")(x)
         x = _max_pool_thw(x, (1, 2, 2))          # 32 -> 16
 
-        x = Conv3dLReLU(d2, name="b2c0")(x)
-        x = Conv3dLReLU(d2, name="b2c1")(x)
+        x = Conv3dLReLU(d2, dtype=self.dtype, name="b2c0")(x)
+        x = Conv3dLReLU(d2, dtype=self.dtype, name="b2c1")(x)
         x = _max_pool_thw(x, (1, 2, 2))          # 16 -> 8
 
-        x = Conv3dLReLU(d3, name="b3c0")(x)
+        x = Conv3dLReLU(d3, dtype=self.dtype, name="b3c0")(x)
         x = _max_pool_thw(x, (1, 2, 2))          # 8 -> 4
-        x = Conv3dLReLU(d3, name="b3c1")(x)
+        x = Conv3dLReLU(d3, dtype=self.dtype, name="b3c1")(x)
         x = _max_pool_thw(x, (1, 2, 2))          # 4 -> 2
 
         b, t, h, w, c = x.shape
         # reference flatten order: (c, h, w) row-major (Rearrange
         # "b c t h w -> b (c h w) t")
         x = jnp.transpose(x, (0, 1, 4, 2, 3)).reshape(b, t, c * h * w)
-        x = nn.Dense(self.out_dim, name="proj")(x)
-        return nn.leaky_relu(x, 0.01)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
+        return nn.leaky_relu(x, 0.01).astype(jnp.float32)
 
 
 def convert_c3d_torch(state_dict, template):

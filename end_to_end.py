@@ -41,13 +41,21 @@ def main(args):
         limit=args.limit or None)
     print(f"{len(items)} videos discovered")
 
+    import jax.numpy as jnp
+
+    # frontends share the localizer's compute dtype (tpu.compute_dtype or
+    # --frontend-dtype); params/norm stats/softmax stay f32, outputs f32
+    fdtype = args.frontend_dtype or config.get("tpu", {}).get(
+        "compute_dtype", "float32")
     video_model = None
     if args.video_encoder != "c3d":
         from audio_visual_deepfake_detection_tpu.frontends import mvit
         video_model = getattr(mvit, args.video_encoder)(
-            out_dim=256, temporal_size=args.video_chunk)
+            out_dim=256, temporal_size=args.video_chunk,
+            dtype=jnp.dtype(fdtype))
     extractor = FeatureExtractor(seed=args.seed, video_model=video_model,
-                                 video_chunk=args.video_chunk)
+                                 video_chunk=args.video_chunk,
+                                 compute_dtype=fdtype)
 
     if args.ckpt:
         path = args.ckpt if os.path.isfile(args.ckpt) or \
@@ -102,4 +110,8 @@ if __name__ == "__main__":
     parser.add_argument("--video-encoder", default="c3d",
                         choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"])
     parser.add_argument("--video-chunk", type=int, default=512)
+    parser.add_argument("--frontend-dtype", default="",
+                        choices=["", "float32", "bfloat16"],
+                        help="frontend compute dtype (default: the config's "
+                             "tpu.compute_dtype)")
     main(parser.parse_args())

@@ -27,11 +27,15 @@ def main(args):
 
     video_model = None
     if args.video_encoder != "c3d":
+        import jax.numpy as jnp
+
         from audio_visual_deepfake_detection_tpu.frontends import mvit
         video_model = getattr(mvit, args.video_encoder)(
-            out_dim=256, temporal_size=args.video_chunk)
+            out_dim=256, temporal_size=args.video_chunk,
+            dtype=jnp.dtype(args.dtype))
     extractor = FeatureExtractor(seed=args.seed, video_model=video_model,
-                                 video_chunk=args.video_chunk)
+                                 video_chunk=args.video_chunk,
+                                 compute_dtype=args.dtype)
     errors = []
     skipped = 0
     cache_names = tuple(CACHE_DIR_NAMES.values())
@@ -77,4 +81,8 @@ if __name__ == "__main__":
                              "extractor is MViT-v2 (video_encoder.py:65-170)")
     parser.add_argument("--video-chunk", type=int, default=512,
                         help="frames per chunk (reference uses 512)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="frontend compute dtype (bf16 matmuls/convs, "
+                             "f32 params/norm stats/softmax, f32 outputs)")
     main(parser.parse_args())
