@@ -167,3 +167,43 @@ def test_online_train_step_sharded_8dev(rng, tiny_cache):
     batch = shard_batch(mesh, batch)
     _, losses = step(state, batch)
     assert np.isfinite(float(losses["final_loss"]))
+
+
+@pytest.mark.parametrize("use_matmul", [True, False])
+def test_online_resample_bf16_transfer_tolerance(rng, use_matmul):
+    """bf16-infeed contract (train/state.py:56-66): with compute_dtype
+    bfloat16, train.py --device-resample ships raw streams in bf16, so the
+    device lerp sees bf16-rounded inputs while the host path resamples in f32
+    before the downcast. Bit-parity holds only for f32 transfer; this pins
+    the documented bf16 tolerance so a regression past rounding error fails.
+    """
+    from audio_visual_deepfake_detection_tpu.ops.resample import (
+        linear_resample_time)
+
+    B, CAP, C, R = 4, 300, 16, 96
+    rows = np.asarray([300, 123, 77, 256], np.int32)
+    x = np.zeros((B, CAP, C), np.float32)
+    for i in range(B):
+        x[i, :rows[i]] = rng.standard_normal((rows[i], C))
+
+    # host path: f32 resample per sample, downcast afterwards
+    host = np.zeros((B, R, C), np.float32)
+    for i in range(B):
+        h = linear_resample_time(jnp.asarray(x[i, :rows[i]][None]), R)
+        host[i] = np.asarray(h)[0]
+    host_bf16 = np.asarray(jnp.asarray(host, jnp.bfloat16), np.float32)
+
+    # device path: bf16 transfer, then the fused dynamic resample
+    dev = linear_resample_dynamic(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(rows), R,
+        use_matmul=use_matmul)
+    dev = np.asarray(dev, np.float32)
+
+    # bf16 mantissa is 8 bits -> relative 2^-8 per rounding; the lerp adds
+    # one more rounding step, so allow ~2 ulp relative + small absolute slack
+    np.testing.assert_allclose(dev, host_bf16, rtol=1.6e-2, atol=1.6e-2)
+    # and the error must be rounding-sized, not structural: f32 device path
+    # on the same windows stays bit-close to the host
+    dev_f32 = np.asarray(linear_resample_dynamic(
+        jnp.asarray(x), jnp.asarray(rows), R, use_matmul=use_matmul))
+    np.testing.assert_allclose(dev_f32, host, rtol=1e-6, atol=1e-6)
