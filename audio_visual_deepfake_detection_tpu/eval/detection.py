@@ -12,6 +12,7 @@ Both share the VOC-2011 interpolated AP over greedy score-ordered matching.
 
 from __future__ import annotations
 
+import subprocess
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -29,11 +30,11 @@ def segment_iou(target: np.ndarray, candidates: np.ndarray) -> np.ndarray:
 
 
 def interpolated_prec_rec(prec: np.ndarray, rec: np.ndarray) -> float:
-    """VOC-2011 interpolated AP."""
+    """VOC-2011 interpolated AP (vectorized: the reference's right-to-left
+    running max, Evaluation/utils.py:34-43, is a reversed cummax)."""
     mprec = np.concatenate([[0], prec, [0]])
     mrec = np.concatenate([[0], rec, [1]])
-    for i in range(len(mprec) - 2, -1, -1):
-        mprec[i] = max(mprec[i], mprec[i + 1])
+    mprec = np.maximum.accumulate(mprec[::-1])[::-1]
     idx = np.where(mrec[1:] != mrec[:-1])[0] + 1
     return float(np.sum((mrec[idx] - mrec[idx - 1]) * mprec[idx]))
 
@@ -52,7 +53,10 @@ def _match_one_video(args):
     lock = -np.ones((len(tious_thr), len(g_seg)))
     for idx in range(npred):
         tious = segment_iou(p_seg[idx], g_seg)
-        srt = np.argsort(tious)[::-1]
+        # deterministic tie rule (earlier GT index wins) shared with the
+        # native matcher (runtime/csrc/match.cpp); the reference's
+        # `argsort()[::-1]` leaves ties to quicksort's whim
+        srt = np.argsort(-tious, kind="stable")
         for tidx, thr in enumerate(tious_thr):
             for j in srt:
                 if tious[j] < thr:
@@ -65,37 +69,42 @@ def _match_one_video(args):
     return tp
 
 
-def average_precision(
-    gt: Dict[str, np.ndarray],
-    pred: Dict[str, np.ndarray],
-    tiou_thresholds: np.ndarray,
-    n_jobs: int = 0,
-) -> np.ndarray:
-    """AP per tIoU threshold for one class.
+def _factorize_ids(ids: np.ndarray) -> np.ndarray:
+    """Factorize an array of ids to int64 codes (first-unique-wins order is
+    NOT guaranteed — codes are arbitrary but consistent). For numpy unicode /
+    bytes dtypes, sorts the ids as packed uint64 words (radix-friendly) —
+    ~10x faster than np.unique on the strings at 34M rows."""
+    ids = np.asarray(ids)
+    if ids.dtype.kind == "U":
+        try:
+            ids = ids.astype(f"S{ids.dtype.itemsize // 4}")
+        except UnicodeEncodeError:  # non-ASCII ids
+            ids = np.char.encode(ids, "utf-8")
+    if ids.dtype.kind != "S":  # object arrays etc. — generic fallback
+        _, codes = np.unique(ids, return_inverse=True)
+        return codes.astype(np.int64)
+    nwords = max(-(-ids.dtype.itemsize // 8), 1)
+    padded = ids.astype(f"S{nwords * 8}", copy=False)
+    words = padded.view(np.uint64).reshape(len(ids), nwords)
+    idx = np.lexsort(words.T[::-1])
+    srows = words[idx]
+    boundary = np.any(srows[1:] != srows[:-1], axis=1)
+    codes_sorted = np.concatenate([[0], np.cumsum(boundary, dtype=np.int64)])
+    codes = np.empty(len(ids), np.int64)
+    codes[idx] = codes_sorted
+    return codes
 
-    gt: {'video-id': array str, 't-start', 't-end'}
-    pred: same plus 'score'. Matching: predictions in descending score order,
-    each grabs the highest-IoU unclaimed GT above the threshold.
-    ``n_jobs > 1`` parallelizes the per-video matching over processes.
-    """
-    ap = np.zeros(len(tiou_thresholds))
-    npred = len(pred["score"])
-    npos = len(gt["t-start"])
-    if npred == 0 or npos == 0:
-        return ap
 
-    order = np.argsort(pred["score"])[::-1]
-    p_vid = np.asarray(pred["video-id"])[order]
-    p_seg = np.stack([np.asarray(pred["t-start"])[order],
-                      np.asarray(pred["t-end"])[order]], axis=1)
-
-    gt_by_vid: Dict[str, List[int]] = {}
-    g_seg = np.stack([np.asarray(gt["t-start"]), np.asarray(gt["t-end"])], axis=1)
-    for i, v in enumerate(np.asarray(gt["video-id"])):
-        gt_by_vid.setdefault(v, []).append(i)
-    pred_by_vid: Dict[str, List[int]] = {}
-    for i, v in enumerate(p_vid):
-        pred_by_vid.setdefault(v, []).append(i)
+def _match_all_python(p_seg, p_code, g_seg, g_code, tiou_thresholds, n_jobs):
+    """Per-video greedy matching in Python (the native matcher's oracle and
+    no-compiler fallback). ``*_code`` are factorized video indices; ``p_seg``
+    rows are in descending score order."""
+    gt_by_vid: Dict[int, List[int]] = {}
+    for i, v in enumerate(g_code):
+        gt_by_vid.setdefault(int(v), []).append(i)
+    pred_by_vid: Dict[int, List[int]] = {}
+    for i, v in enumerate(p_code):
+        pred_by_vid.setdefault(int(v), []).append(i)
 
     tasks = []
     index_map = []
@@ -114,15 +123,89 @@ def average_precision(
     else:
         results = [_match_one_video(t) for t in tasks]
 
-    tp = np.zeros((len(tiou_thresholds), npred))
+    tp = np.zeros((len(tiou_thresholds), len(p_code)))
     for p_idx, flags in zip(index_map, results):
         tp[:, p_idx] = flags
-    fp = 1.0 - tp
+    return tp
 
+
+def _match_all_native(p_seg, p_code, g_seg, g_code, tiou_thresholds, n_threads):
+    """Group by video (stable, preserving score order) and run the OpenMP
+    matcher; returns TP flags back in score order."""
+    from ..runtime.host_match import host_match_tp
+
+    nvid = int(max(p_code.max(initial=-1), g_code.max(initial=-1))) + 1
+    grp = np.argsort(p_code, kind="stable")
+    p_off = np.zeros(nvid + 1, np.int64)
+    np.cumsum(np.bincount(p_code, minlength=nvid), out=p_off[1:])
+    g_grp = np.argsort(g_code, kind="stable")
+    g_off = np.zeros(nvid + 1, np.int64)
+    np.cumsum(np.bincount(g_code, minlength=nvid), out=g_off[1:])
+
+    tp_grouped = host_match_tp(p_seg[grp], p_off, g_seg[g_grp], g_off,
+                               np.asarray(tiou_thresholds),
+                               n_threads=max(n_threads, 0))
+    tp = np.zeros((len(tiou_thresholds), len(p_code)))
+    tp[:, grp] = tp_grouped
+    return tp
+
+
+def average_precision(
+    gt: Dict[str, np.ndarray],
+    pred: Dict[str, np.ndarray],
+    tiou_thresholds: np.ndarray,
+    n_jobs: int = -1,
+) -> np.ndarray:
+    """AP per tIoU threshold for one class.
+
+    gt: {'video-id': array str, 't-start', 't-end'}
+    pred: same plus 'score'. Matching: predictions in descending score order,
+    each grabs the highest-IoU unclaimed GT above the threshold.
+
+    ``n_jobs``: -1 (default) uses the native OpenMP matcher
+    (runtime/csrc/match.cpp — seconds at the 343k-video challenge scale,
+    falling back to serial Python if the toolchain is absent); 0/1 forces the
+    serial Python matcher; >1 spreads the Python matcher over that many
+    processes (the reference's joblib strategy, Evaluation/eval.py:135).
+    """
+    ap = np.zeros(len(tiou_thresholds))
+    npred = len(pred["score"])
+    npos = len(gt["t-start"])
+    if npred == 0 or npos == 0:
+        return ap
+
+    order = np.argsort(pred["score"])[::-1]
+    p_seg = np.stack([np.asarray(pred["t-start"], np.float64)[order],
+                      np.asarray(pred["t-end"], np.float64)[order]], axis=1)
+    g_vid = np.asarray(gt["video-id"])
+    g_seg = np.stack([np.asarray(gt["t-start"], np.float64),
+                      np.asarray(gt["t-end"], np.float64)], axis=1)
+
+    # factorize video ids once: string comparisons are the slow part at 34M
+    # rows (np.unique on shuffled '<U17' measured 173s; pd.factorize 52s —
+    # pandas round-trips through object dtype), so sort fixed-width BYTES
+    # viewed as uint64 words instead, and gather int codes through the score
+    # order rather than gathering strings
+    all_vid = np.concatenate([np.asarray(pred["video-id"]), g_vid])
+    codes = _factorize_ids(all_vid)
+    p_code = codes[:npred][order]
+    g_code = codes[npred:]
+
+    if n_jobs < 0:
+        try:
+            tp = _match_all_native(p_seg, p_code, g_seg, g_code,
+                                   tiou_thresholds, n_threads=0)
+        except (OSError, subprocess.CalledProcessError):  # no g++/stale .so
+            tp = _match_all_python(p_seg, p_code, g_seg, g_code,
+                                   tiou_thresholds, n_jobs=0)
+    else:
+        tp = _match_all_python(p_seg, p_code, g_seg, g_code,
+                               tiou_thresholds, n_jobs=n_jobs)
+    # every prediction is TP or FP, so tp_cs + fp_cs == 1..npred identically —
+    # no need to materialize fp (1.1 GB at challenge scale)
     tp_cs = np.cumsum(tp, axis=1)
-    fp_cs = np.cumsum(fp, axis=1)
     rec = tp_cs / npos
-    prec = tp_cs / (tp_cs + fp_cs)
+    prec = tp_cs / np.arange(1, npred + 1, dtype=np.float64)
     for tidx in range(len(tiou_thresholds)):
         ap[tidx] = interpolated_prec_rec(prec[tidx], rec[tidx])
     return ap
@@ -139,7 +222,7 @@ class ANETdetection:
 
     def __init__(self, gt_records: Sequence[dict],
                  tiou_thresholds: np.ndarray = CHALLENGE_TIOUS,
-                 num_classes: int = 1, n_jobs: int = 0):
+                 num_classes: int = 1, n_jobs: int = -1):
         self.tiou_thresholds = np.asarray(tiou_thresholds, dtype=np.float64)
         self.num_classes = num_classes
         self.n_jobs = n_jobs
@@ -172,10 +255,18 @@ class ANETdetection:
         for c in range(self.num_classes):
             sel = labels == c
             gt_sel = self.gt["label"] == c
-            gt_c = {k: np.asarray(self.gt[k])[gt_sel] for k in
-                    ("video-id", "t-start", "t-end")}
-            pred_c = {k: np.asarray(preds[k])[sel] for k in
-                      ("video-id", "t-start", "t-end", "score")}
+            if self.num_classes == 1 and sel.all() and gt_sel.all():
+                # single-class challenge path: skip the per-class copies
+                # (a 34M-row string gather costs ~10s at challenge scale)
+                gt_c = {k: np.asarray(self.gt[k]) for k in
+                        ("video-id", "t-start", "t-end")}
+                pred_c = {k: np.asarray(preds[k]) for k in
+                          ("video-id", "t-start", "t-end", "score")}
+            else:
+                gt_c = {k: np.asarray(self.gt[k])[gt_sel] for k in
+                        ("video-id", "t-start", "t-end")}
+                pred_c = {k: np.asarray(preds[k])[sel] for k in
+                          ("video-id", "t-start", "t-end", "score")}
             ap[:, c] = average_precision(gt_c, pred_c, self.tiou_thresholds,
                                          n_jobs=self.n_jobs)
             if top_k:

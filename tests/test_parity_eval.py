@@ -101,3 +101,35 @@ def test_parallel_ap_equals_serial():
     a = average_precision(gt, pred, CHALLENGE_TIOUS, n_jobs=0)
     b = average_precision(gt, pred, CHALLENGE_TIOUS, n_jobs=4)
     np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_native_matcher_equals_python():
+    """The OpenMP C++ matcher (runtime/csrc/match.cpp) reproduces the Python
+    greedy matcher exactly — including duplicate segments/scores, videos with
+    predictions but no GT, and GT-only videos."""
+    rng = np.random.default_rng(11)
+    gt, pred = _random_tables(rng, n_videos=40, n_pred=600)
+    # inject exact ties: duplicated GTs and duplicated predictions
+    for k in gt:
+        gt[k] = np.concatenate([gt[k], gt[k][:7]])
+    for k in pred:
+        pred[k] = np.concatenate([pred[k], pred[k][:31]])
+    a = average_precision(gt, pred, CHALLENGE_TIOUS, n_jobs=0)
+    b = average_precision(gt, pred, CHALLENGE_TIOUS, n_jobs=-1)
+    np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_factorize_ids_consistent():
+    from audio_visual_deepfake_detection_tpu.eval.detection import _factorize_ids
+
+    ids = np.asarray(["b.mp4", "a.mp4", "b.mp4", "zz", "a.mp4", "c", "zz"])
+    codes = _factorize_ids(ids)
+    # same id -> same code, different id -> different code
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            assert (codes[i] == codes[j]) == (ids[i] == ids[j])
+    # object-dtype fallback agrees with itself
+    codes_obj = _factorize_ids(ids.astype(object))
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            assert (codes_obj[i] == codes_obj[j]) == (ids[i] == ids[j])
