@@ -20,8 +20,20 @@ from flax import traverse_util
 
 
 def decay_mask(params) -> Dict:
+    """Weight-decay mask: kernels decay, everything else doesn't — EXCEPT the
+    last hh_branch block. The reference backbone discards that block's output
+    (backbones.py:485-492 appends x to out_feats BEFORE overwriting it on the
+    final level), so its params never receive a torch gradient; torch AdamW
+    skips grad-None params entirely, weight decay included — they stay frozen
+    at init for the whole run (verified in test_parity_train). Decaying them
+    here would silently walk them away from any converted checkpoint."""
     flat = traverse_util.flatten_dict(params)
-    mask = {path: path[-1] == "kernel" for path in flat}
+    hh_ids = [int(name.split("_")[-1]) for path in flat for name in path
+              if isinstance(name, str) and name.startswith("hh_branch_")]
+    last_hh = f"hh_branch_{max(hh_ids)}" if hh_ids else None
+    mask = {path: path[-1] == "kernel" and (last_hh is None
+                                            or last_hh not in path)
+            for path in flat}
     return traverse_util.unflatten_dict(mask)
 
 
@@ -30,22 +42,39 @@ def make_schedule(opt_cfg: Dict, num_iters_per_epoch: int) -> optax.Schedule:
     if opt_cfg.get("warmup", True):
         warmup_steps = opt_cfg["warmup_epochs"] * num_iters_per_epoch
         max_steps = (opt_cfg["epochs"] + opt_cfg["warmup_epochs"]) * num_iters_per_epoch
+        eta_min = opt_cfg.get("eta_min", 1e-8)
+        # the reference warmup reaches base_lr at step W-1, not W — the
+        # divisor is (warmup_epochs - 1) (lr_schedulers.py:72-125); optax's
+        # warmup_cosine_decay divides by W, a 1/W relative lr error over the
+        # whole warmup, so spell out the reference's closed form instead
+        wdiv = float(max(warmup_steps - 1, 1))
+
         if opt_cfg.get("schedule_type", "cosine") == "cosine":
-            return optax.warmup_cosine_decay_schedule(
-                init_value=0.0,
-                peak_value=base_lr,
-                warmup_steps=warmup_steps,
-                decay_steps=max_steps,
-                end_value=opt_cfg.get("eta_min", 1e-8),
-            )
-        # multistep with warmup (LinearWarmupMultiStepLR)
+            cos_div = float(max(max_steps - warmup_steps, 1))
+
+            def sched(count):
+                c = jnp.asarray(count, jnp.float32)
+                warm = c * (base_lr / wdiv)
+                prog = (c - warmup_steps) / cos_div
+                cos = eta_min + 0.5 * (base_lr - eta_min) * (
+                    1.0 + jnp.cos(jnp.pi * prog))
+                return jnp.where(c < warmup_steps, jnp.minimum(warm, base_lr),
+                                 cos)
+
+            return sched
+        # multistep with warmup (LinearWarmupMultiStepLR): milestones are in
+        # post-warmup steps (lr_schedulers.py:203-211 compares
+        # last_epoch - warmup_steps against the milestones)
         steps = [num_iters_per_epoch * s for s in opt_cfg["schedule_steps"]]
         gamma = opt_cfg.get("schedule_gamma", 0.1)
 
         def sched(count):
-            warm = jnp.minimum(count / jnp.maximum(warmup_steps, 1), 1.0)
-            decay = gamma ** sum(jnp.asarray(count >= s, jnp.float32) for s in steps)
-            return base_lr * warm * decay
+            c = jnp.asarray(count, jnp.float32)
+            warm = c * (base_lr / wdiv)
+            n_decay = sum(jnp.asarray((c - warmup_steps) >= s, jnp.float32)
+                          for s in steps)
+            return jnp.where(c < warmup_steps, jnp.minimum(warm, base_lr),
+                             base_lr * gamma ** n_decay)
 
         return sched
     max_steps = opt_cfg["epochs"] * num_iters_per_epoch

@@ -50,6 +50,7 @@ def build_train_step(
     train_cfg: Dict,
     ema_decay: float = 0.999,
     online_resample: bool = False,
+    deterministic_forward: bool = False,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Returns train_step(state, batch) -> (state, losses).
 
@@ -62,6 +63,12 @@ def build_train_step(
     (train.py --device-resample + compute_dtype bfloat16) the lerp runs in
     bf16 while the host path resamples in f32 before the downcast, so
     results agree only to bf16 rounding.
+
+    ``deterministic_forward``: run the forward with train=False (no dropout /
+    droppath) while keeping the full optimizer/EMA/normalizer chain — used by
+    the torch trajectory-parity test, where the stochastic interpolator
+    dropout (blocks.py:1615 in the reference) would make cross-framework
+    step-for-step comparison impossible.
     """
     model = AVLocalizer(cfg)
     points = model_points(cfg)
@@ -93,7 +100,8 @@ def build_train_step(
         feats, mask = batch_feats(batch)
 
         def loss_fn(params):
-            out = model.apply(params, feats, mask, train=True,
+            out = model.apply(params, feats, mask,
+                              train=not deterministic_forward,
                               rngs={"dropout": step_rng})
             losses, num_pos = compute_losses(
                 out, gt_cls, gt_off, batch["has_gt"], state.loss_normalizer,
