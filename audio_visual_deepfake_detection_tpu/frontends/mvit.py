@@ -82,6 +82,48 @@ def _prod(xs):
     return out
 
 
+class PatchEmbed(nn.Module):
+    """conv_proj as an explicit im2col matmul.
+
+    XLA's lowering of the (3,15,15)/stride (1,12,12) patch conv measures
+    11.7 ms per 512-frame chunk on v5e; stacking the strided window slices
+    and contracting (kt*kh*kw*cin) on the MXU measures 5.4 ms (BENCH_NOTES
+    round 3). Parameters keep torchvision's Conv3d layout
+    (kernel (kt,kh,kw,cin,cout), bias (cout,)) so ``convert_mvit_torch``
+    and existing checkpoints are unaffected.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.stride
+        cin = v.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kt, kh, kw, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pt, ph, pw = self.padding
+        v = jnp.pad(v, ((0, 0), (pt, pt), (ph, ph), (pw, pw), (0, 0)))
+        v = v.astype(self.dtype)
+        ot, oh, ow = [(s - k) // t + 1 for s, k, t in
+                      zip(v.shape[1:4], self.kernel, self.stride)]
+        tw = jnp.stack([v[:, r:r + st * (ot - 1) + 1:st]
+                        for r in range(kt)], axis=2)   # (B,ot,kt,H,W,C)
+        hw = jnp.stack([tw[:, :, :, r:r + sh * (oh - 1) + 1:sh]
+                        for r in range(kh)], axis=4)   # (B,ot,kt,oh,kh,W,C)
+        ww = jnp.stack([hw[:, :, :, :, :, r:r + sw * (ow - 1) + 1:sw]
+                        for r in range(kw)], axis=6)   # (B,ot,kt,oh,kh,ow,kw,C)
+        patches = ww.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            v.shape[0], ot, oh, ow, kt * kh * kw * cin)
+        out = patches @ w.astype(self.dtype).reshape(-1, self.features)
+        return out + bias.astype(self.dtype)
+
+
 class TokenPool(nn.Module):
     """Depthwise conv pooling of (B, H, N, d) head tokens over a (T, Hs, Ws)
     grid, skipping the class token; conv groups = head_dim, followed by LN."""
@@ -110,6 +152,24 @@ class TokenPool(nn.Module):
         out = jnp.concatenate([cls_tok.astype(grid.dtype), grid], axis=2)
         out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(out)
         return out, new_thw
+
+
+def _toeplitz_band(G: jnp.ndarray, kt: int) -> jnp.ndarray:
+    """D[..., q, k] = G[..., q, q + kt - 1 - k] for q, k in [0, kt).
+
+    G has last axis of length 2*kt-1 (= q . rel_t[j] for every table row j).
+    The anti-diagonal band extraction is a pure shear: reverse, pad one
+    column, flatten the last two axes, re-slice at row stride 2*kt-1. All
+    reshapes/slices — no gather (gathers at this size measure ~30x slower on
+    TPU) and no per-t batched matmul (512 tiny (16,96)@(96,512) matmuls run
+    at ~0.1% MXU utilization and materialize a 0.8 GB outer product when
+    XLA lowers the shared-t einsum as multiply+reduce)."""
+    qt = kt
+    Grev = G[..., ::-1]
+    pad = jnp.pad(Grev, [(0, 0)] * (Grev.ndim - 1) + [(0, 1)])
+    flat = pad.reshape(pad.shape[:-2] + (qt * 2 * kt,))
+    flat = flat[..., kt - 1: kt - 1 + qt * (2 * kt - 1)]
+    return flat.reshape(flat.shape[:-1] + (qt, 2 * kt - 1))[..., :kt]
 
 
 def _rel_pos_index(q_size: int, k_size: int) -> np.ndarray:
@@ -153,6 +213,17 @@ class MultiscaleAttention(nn.Module):
         v, _ = TokenPool(c.kernel_kv, c.stride_kv, dtype=self.dtype,
                          name="pool_v")(v, thw)
 
+        # Scores are stored in the compute dtype (f32 accumulation on the
+        # MXU either way); softmax statistics are computed in f32. The big
+        # (N_q, N_k) matrix is the whole HBM story of this model at
+        # production geometry (58 GB/chunk before this restructuring), so it
+        # is touched a minimal number of times: one write (scores + rel-pos
+        # bias in one fused pass, zero-PADDED for the class token instead of
+        # the fusion-breaking dynamic-update-slice `.at[1:, 1:].add`), one
+        # read for the row max, one read for exp (written back at compute
+        # dtype), one read by the P@V matmul. The softmax denominator is
+        # applied to the (N_q, d) OUTPUT instead of the matrix
+        # (sum(e) >= 1 after max subtraction, so the division is safe).
         att = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k,
                          preferred_element_type=jnp.float32)
 
@@ -179,24 +250,68 @@ class MultiscaleAttention(nn.Module):
             cd = q.dtype
             Rh = rel_h[jnp.asarray(_rel_pos_index(qh, kh))].astype(cd)
             Rw = rel_w[jnp.asarray(_rel_pos_index(qw, kw))].astype(cd)
-            Rt = rel_t[jnp.asarray(_rel_pos_index(qt, kt))].astype(cd)
             f32 = dict(preferred_element_type=jnp.float32)
             bias_h = jnp.einsum("bnthwd,hkd->bnthwk", q_grid, Rh, **f32)
             bias_w = jnp.einsum("bnthwd,wkd->bnthwk", q_grid, Rw, **f32)
-            bias_t = jnp.einsum("bnthwd,tkd->bnthwk", q_grid, Rt, **f32)
-            bias = (bias_t[:, :, :, :, :, :, None, None]
-                    + bias_h[:, :, :, :, :, None, :, None]
-                    + bias_w[:, :, :, :, :, None, None, :])
+            if qt == kt and qh * qw <= 4:
+                # temporal stride is always 1 in this family, so the t-axis
+                # rel-pos is a Toeplitz band of ONE clean MXU matmul against
+                # the whole table: G[..., q, j] = q . rel_t[j], then
+                # bias_t[q, k] = G[q, q + kt - 1 - k] via _toeplitz_band.
+                # Gated to the small-spatial stages (3/4, 16+3 of 24 blocks):
+                # there the shared-t einsum's multiply+reduce lowering
+                # materializes a qt*qhw*kt*d outer product (~0.7 GB/block,
+                # measured); on the wide-spatial stage-1 grid the einsum
+                # lowers fine and the shear's G copies cost more instead.
+                qg2 = q_grid.transpose(0, 1, 3, 4, 2, 5)   # (b,nh,qh,qw,qt,d)
+                G = jnp.einsum("...qd,ld->...ql", qg2,
+                               rel_t[:2 * kt - 1].astype(cd), **f32)
+                bias_t = _toeplitz_band(G, kt).transpose(0, 1, 4, 2, 3, 5)
+            else:
+                Rt = rel_t[jnp.asarray(_rel_pos_index(qt, kt))].astype(cd)
+                bias_t = jnp.einsum("bnthwd,tkd->bnthwk", q_grid, Rt, **f32)
+            # Assemble bias over the flat (kt*kh*kw) k-axis directly. The
+            # naive broadcast sum bias_t[...,:,None,None] + bias_h[...] +
+            # bias_w[...] materializes tensors whose MINOR dims are (kh, kw)
+            # = (2, 2); the TPU tiles the minor axis to 128 lanes, so those
+            # arrays cost ~64x their logical bytes — measured 16.2 GB of the
+            # production transition block's 17 GB HBM traffic (repeat/tile
+            # lowers the same way and measured no better). Instead the
+            # k-expansion runs as matmuls against constant 0/1 kron-structure
+            # matrices: every materialized tensor keeps a wide minor axis and
+            # the expansion rides the MXU.
+            khw = kh * kw
+            if khw == 1:
+                bias = bias_t
+            else:
+                bhw = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+                    b, nh, qt, qh, qw, khw)
+                e_t = jnp.asarray(np.kron(np.eye(kt, dtype=np.float32),
+                                          np.ones((1, khw), np.float32)))
+                e_hw = jnp.asarray(np.kron(np.ones((1, kt), np.float32),
+                                           np.eye(khw, dtype=np.float32)))
+                f32p = dict(preferred_element_type=jnp.float32)
+                bias = (jnp.einsum("...t,tk->...k", bias_t.astype(cd),
+                                   e_t.astype(cd), **f32p)
+                        + jnp.einsum("...s,sk->...k", bhw.astype(cd),
+                                     e_hw.astype(cd), **f32p))
             bias = bias.reshape(b, nh, qt * qh * qw, kt * kh * kw)
-            att = att.at[:, :, 1:, 1:].add(bias)
+            att = att + jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
 
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        m = jnp.max(att, axis=-1, keepdims=True)
+        e = jnp.exp(att - m).astype(self.dtype)
+        z = jnp.sum(e, axis=-1, dtype=jnp.float32)       # >= 1
+        out = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = (out / z[..., None]).astype(v.dtype)
         if self.residual_pool:
             if self.residual_with_cls_embed:
                 out = out + q
             else:
-                out = out.at[:, :, 1:].add(q[:, :, 1:])
+                # zero-pad the cls position instead of .at[:, :, 1:].add —
+                # a pad fuses, a dynamic-update-slice does not
+                out = out + jnp.pad(q[:, :, 1:],
+                                    ((0, 0), (0, 0), (1, 0), (0, 0)))
         n_q = out.shape[2]
         out = out.transpose(0, 2, 1, 3).reshape(b, n_q, out_dim)
         out = nn.Dense(out_dim, dtype=self.dtype, name="proj")(out)
@@ -268,9 +383,9 @@ class MViTVideoEncoder(nn.Module):
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
         c0 = self.block_setting[0].input_channels
-        x = nn.Conv(c0, self.patch_kernel, strides=self.patch_stride,
-                    padding=[(p, p) for p in self.patch_padding],
-                    dtype=self.dtype, name="conv_proj")(video)
+        x = PatchEmbed(c0, self.patch_kernel, self.patch_stride,
+                       self.patch_padding, dtype=self.dtype,
+                       name="conv_proj")(video)
         b, t, hs, ws, ch = x.shape
         thw = (t, hs, ws)
         x = x.reshape(b, t * hs * ws, ch)
