@@ -147,11 +147,28 @@ def test_media_pipeline_tinydataset(tmp_path):
 
 
 def test_e2e_learns_on_real_media(tmp_path):
-    """The full LOOP on real media: decode tinydataset mp4s -> our frontends
-    -> train the localizer to overfit -> the same raw-media pipeline scores a
-    high challenge mAP with the trained weights (and ~0 untrained). This is
-    the reference's whole lifecycle (feature extraction -> train.py ->
-    inference.py -> evaluation) as one in-process chain."""
+    """The full LOOP on real media with a PINNED quality floor: decode
+    tinydataset mp4s -> our frontends -> train the localizer to overfit ->
+    the same raw-media pipeline scores challenge average-mAP >= 45 (0-100
+    scale) through the full decode + soft-NMS + voting + evaluation chain.
+    This is the reference's whole lifecycle (feature extraction -> train.py
+    -> inference.py -> evaluation) as one in-process chain, and the
+    strongest end-to-end correctness signal available without the released
+    checkpoints.
+
+    Where the bar comes from (measured on this machine, round 3): 300 steps
+    of warmup-cosine reach average-mAP 53.8-61.2 across runs/horizons (the
+    300/600/1000/2000/3000/6000-step curve plateaus immediately); a perfectly
+    overfit model (final loss 0.0000 at 6000 steps) still measures ~58, NOT
+    ~100, because the reference's own postprocessing caps it: seg_voting
+    (nms.py:67-101) merges the one-grid-cell-shifted duplicate detections
+    from adjacent FPN points into the winner, biasing each boundary by
+    ~+0.03 s, which caps tIoU >= 0.9 on tinydataset's 0.16-0.5 s segments
+    (per-video analysis: predictions match GT to +-0.03 s, IoU 0.69-0.96).
+    GT mapping below uses the dataset's exact seconds->grid inverse
+    (seg * fps / feat_stride - 0.5 * num_frames / feat_stride,
+    deepfake_video_audio.py:1033-1035) — the T/duration shortcut loses
+    another ~0.05 s per boundary and halves the reachable mAP."""
     import jax
 
     from audio_visual_deepfake_detection_tpu.data.dataset import (
@@ -191,7 +208,13 @@ def test_e2e_learns_on_real_media(tmp_path):
         assert s["video_id"] == rec["video_id"]
         segs = rec["segments_time"]
         if segs:
-            arr = np.asarray(segs, np.float32) * T / s["duration"]
+            # exact inverse of the eval decode (deepfake_video_audio.py:
+            # 1033-1035 with ds feat_stride = num_frames = 1): grid =
+            # sec * fps / fs - 0.5 / fs, fs = video_rows / T
+            video_rows = s["streams"][0].shape[0]
+            fs = float(video_rows) / T
+            fps = video_rows / s["duration"]
+            arr = (np.asarray(segs, np.float32) * fps - 0.5) / fs
             gt_segments[i, :len(arr)] = arr[:max_gt]
             gt_valid[i, :len(arr)] = True
             has_gt[i] = True
@@ -207,14 +230,14 @@ def test_e2e_learns_on_real_media(tmp_path):
                  "center_sample": "radius", "center_sample_radius": 1.5,
                  "init_loss_norm": 20}
     tx, _ = make_optimizer(
-        params0, {"learning_rate": 2e-3, "weight_decay": 0.0, "epochs": 1,
-                  "warmup": False, "warmup_epochs": 0,
-                  "schedule_type": "multistep", "schedule_steps": []},
-        num_iters_per_epoch=10**6, clip_grad_l2norm=1.0)
+        params0, {"learning_rate": 2e-3, "weight_decay": 0.0, "epochs": 600,
+                  "warmup": True, "warmup_epochs": 20,
+                  "schedule_type": "cosine"},
+        num_iters_per_epoch=1, clip_grad_l2norm=1.0)
     state = TrainState.create(params0, tx, 20.0, rng)
     step = jax.jit(build_train_step(cfg, train_cfg), donate_argnums=0)
     first_loss = last_loss = None
-    for _ in range(240):
+    for _ in range(300):
         state, losses = step(state, batch)
         if first_loss is None:
             first_loss = float(losses["final_loss"])
@@ -229,7 +252,42 @@ def test_e2e_learns_on_real_media(tmp_path):
     summary, _ = run_media_pipeline(
         in_memory, pipe_trained, str(tmp_path / "out"),
         gt_records=gt_records, verbose=False)
-    assert summary["average_mAP"] > 0.3, summary
+    # measured 53.8-61.2 across runs (docstring); 45 is the regression floor
+    assert summary["average_mAP"] > 45.0, summary
+
+
+@pytest.mark.skipif(not os.path.isdir(TINY_ROOT), reason="tinydataset absent")
+def test_media_pipeline_tinydataset_mvit(tmp_path):
+    """The production visual-encoder FAMILY (MViT-v2, video_encoder.py:192
+    `mvit_b`) through the full raw-media pipeline on real tinydataset mp4s —
+    the same code path end_to_end.py --video-encoder mvit_v2_b drives at
+    production scale (two stages with a q-stride transition + Toeplitz-band
+    rel-pos here so the CPU test stays tractable; the full mvit_v2_b geometry
+    is exercised by the TPU bench and tests/test_mvit_golden.py)."""
+    pytest.importorskip("cv2")
+    from audio_visual_deepfake_detection_tpu.frontends.mvit import (
+        MViTVideoEncoder, generate_config)
+
+    items, gt = discover_media(os.path.join(TINY_ROOT, "metadata"),
+                               os.path.join(TINY_ROOT, "data"), limit=4)
+    video_model = MViTVideoEncoder(
+        tuple(generate_config([1, 1], [1, 2], [16, 32], 16)),
+        temporal_size=8, spatial_size=(96, 96))
+    extractor = FeatureExtractor(
+        video_chunk=8, video_model=video_model,
+        byola_model=AudioNTT2020(n_mels=64, d=32),
+        emotion_model=Emotion2Vec(Emotion2VecConfig(
+            embed_dim=32, depth=1, prenet_depth=1, num_heads=2)),
+    )
+    cfg = _tiny_cfg()
+    params, _ = init_model(cfg, 2, seed=0)
+    pipeline = MediaPipeline(extractor, cfg, _test_cfg(), params, batch_size=2)
+    summary, result_items = run_media_pipeline(
+        items, pipeline, str(tmp_path), gt_records=gt, verbose=False)
+    assert summary["num_videos"] == 4
+    assert "average_mAP" in summary and np.isfinite(summary["average_mAP"])
+    for r in result_items:
+        assert set(r) == {"video_id", "video_cls", "scores", "segments"}
 
 
 def test_media_pipeline_preempt_and_resume(rng, tmp_path):

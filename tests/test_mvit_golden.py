@@ -262,6 +262,32 @@ def test_mvit_production_geometry():
     assert out.shape == (1, 4, 8)
 
 
+def test_mvit_v2_s_matches_torchvision_published_param_count():
+    """Independent STRUCTURAL anchor (torchvision itself is not installable
+    in this image, so the numerical golden above uses a hand-built mirror —
+    a correlated oracle). torchvision's docs publish num_params for
+    MViT_V2_S_Weights.KINETICS400_V1 = 34,537,744 (stock geometry: spatial
+    224, temporal 16, patch kernel (3,7,7) stride (2,4,4) pad (1,3,3),
+    blocks [1,2,11,2], heads [1,2,4,8], channels [96,192,384,768], head
+    Linear(768, 400)). Building that exact geometry with OUR modules must
+    reproduce the published count to the parameter — this pins every
+    parameter shape in the model (rel-pos table sizing from input sizes,
+    per-head pool convs, qkv/proj/MLP dims, class token) against an
+    artifact that was not produced by this repo."""
+    import jax
+
+    bs = generate_config([1, 2, 11, 2], [1, 2, 4, 8], [96, 192, 384, 768],
+                         768)  # stock: last stage keeps 768 (no out proj)
+    enc = MViTVideoEncoder(tuple(bs), patch_kernel=(3, 7, 7),
+                           patch_stride=(2, 4, 4), patch_padding=(1, 3, 3),
+                           temporal_size=16, spatial_size=(224, 224))
+    shapes = jax.eval_shape(lambda: enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3))))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes))
+    head = 768 * 400 + 400  # torchvision's head: Linear(768, 400)
+    assert n + head == 34_537_744
+
+
 def test_rel_pos_index_matches_torchvision():
     from audio_visual_deepfake_detection_tpu.frontends.mvit import (
         _rel_pos_index)
