@@ -107,8 +107,12 @@ if __name__ == "__main__":
                         help="skip videos already present in the output "
                              "folder's data*.json flushes")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--video-encoder", default="c3d",
-                        choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"])
+    parser.add_argument("--video-encoder", default="mvit_v2_b",
+                        choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"],
+                        help="default matches the reference checkpoint's "
+                             "production encoder (video_encoder.py:192 "
+                             "mvit_b); it is also the fastest on v5e after "
+                             "the round-3 kernel work")
     parser.add_argument("--video-chunk", type=int, default=512)
     parser.add_argument("--frontend-dtype", default="",
                         choices=["", "float32", "bfloat16"],

@@ -75,7 +75,7 @@ if __name__ == "__main__":
     parser.add_argument("--no-skip-existing", action="store_true",
                         help="re-extract even when all three stream caches "
                              "already exist for a clip")
-    parser.add_argument("--video-encoder", default="c3d",
+    parser.add_argument("--video-encoder", default="mvit_v2_b",
                         choices=["c3d", "mvit_v2_t", "mvit_v2_s", "mvit_v2_b"],
                         help="visual backbone; the reference's production "
                              "extractor is MViT-v2 (video_encoder.py:65-170)")
