@@ -371,6 +371,11 @@ class MViTVideoEncoder(nn.Module):
     temporal_size: int = 512
     spatial_size: Tuple[int, int] = (96, 96)
     dtype: Any = jnp.float32
+    # HBM-bound: per-chunk time DEGRADES with chunk batch (31.7 -> 42.4 ms
+    # at 16 chunks on v5e — the stage-1 intermediates outgrow what XLA
+    # schedules well), so FeatureExtractor runs chunks sequentially via
+    # lax.map (C3D is the opposite: 45.5 -> 32.7 ms/chunk batched)
+    prefers_sequential_chunks: bool = True
 
     def _config_grid(self) -> Tuple[int, int, int]:
         """Token grid after the patch-embed conv at the configured sizes."""

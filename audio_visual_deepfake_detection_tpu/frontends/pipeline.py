@@ -70,7 +70,15 @@ class FeatureExtractor:
         # the streams actually used
         self.params = params if params is not None else FrontendParams(
             video=None, byola=None, emotion=None)
-        self._video_fn = jax.jit(self.video_model.apply)
+        if getattr(self.video_model, "prefers_sequential_chunks", False):
+            # HBM-bound encoders (MViT) process chunks one at a time inside
+            # the jit — per-chunk time degrades with chunk batch (see
+            # MViTVideoEncoder.prefers_sequential_chunks); compute-bound
+            # C3D keeps the batched apply
+            self._video_fn = jax.jit(lambda p, x: jax.lax.map(
+                lambda c: self.video_model.apply(p, c[None])[0], x))
+        else:
+            self._video_fn = jax.jit(self.video_model.apply)
         self._byola_fn = jax.jit(
             lambda p, wav: byola_features(p, wav, self.byola_model))
         self._emotion_fn = jax.jit(self.emotion_model.apply)

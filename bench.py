@@ -122,7 +122,7 @@ def measure_e2e() -> float:
         linear_resample_time)
     from audio_visual_deepfake_detection_tpu.train.state import init_model
 
-    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "8"))
+    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "16"))  # 8: 19.9, 16: 21.4 v/s
     CHUNK = 512
     DUR, FPS = 9.6, 25.0
     N_FRAMES = int(DUR * FPS)                      # 240
@@ -158,9 +158,16 @@ def measure_e2e() -> float:
     @jax.jit
     def e2e(lp, fp, frames_u8, wav):
         # video: uint8 -> [0,1] f32 -> MViT-v2-b -> (B, CHUNK, 256) f32,
-        # valid rows = true frame count (chunk tail is zero-pad)
-        v = video_model.apply(fp["video"],
-                              frames_u8.astype(jnp.float32) / 255.0)
+        # valid rows = true frame count (chunk tail is zero-pad).
+        # lax.map (batch-1 encoder steps) instead of one batched apply: the
+        # HBM-bound encoder degrades with chunk batch (31.7 -> 42.4 ms/chunk
+        # at 16 chunks — the stage-1 intermediates blow past the working set
+        # XLA schedules well), while audio + localizer below stay batched.
+        def enc_one(fr):
+            return video_model.apply(
+                fp["video"], fr[None].astype(jnp.float32) / 255.0)[0]
+
+        v = jax.lax.map(enc_one, frames_u8)
         v = v[:, :N_FRAMES]
         lms = jnp.swapaxes(byola_log_mel(wav), -1, -2)
         by = byola_model.apply(fp["byola"], lms)[:, :BYOLA_ROWS]
