@@ -279,8 +279,13 @@ class MultiscaleAttention(nn.Module):
                 # measured); on the wide-spatial stage-1 grid the einsum
                 # lowers fine and the shear's G copies cost more instead.
                 qg2 = q_grid.transpose(0, 1, 3, 4, 2, 5)   # (b,nh,qh,qw,qt,d)
+                # G and its shear copies ride at the compute dtype (f32
+                # accumulation inside the matmul either way); in bf16 mode
+                # this halves the dominant remaining per-block traffic
                 G = jnp.einsum("...qd,ld->...ql", qg2,
-                               rel_t[:2 * kt - 1].astype(cd), **f32)
+                               rel_t[:2 * kt - 1].astype(cd),
+                               preferred_element_type=jnp.float32
+                               ).astype(self.dtype)
                 bias_t = _toeplitz_band(G, kt).transpose(0, 1, 4, 2, 3, 5)
             else:
                 Rt = rel_t[jnp.asarray(_rel_pos_index(qt, kt))].astype(cd)
