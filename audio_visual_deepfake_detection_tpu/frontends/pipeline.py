@@ -55,7 +55,8 @@ class FeatureExtractor:
                  video_model: Optional[C3DVideoEncoder] = None,
                  byola_model: Optional[AudioNTT2020] = None,
                  emotion_model: Optional[Emotion2Vec] = None,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 chunk_buckets: Optional[tuple] = None):
         dtype = jnp.dtype(compute_dtype)
         self.compute_dtype = dtype
         self.video_model = video_model or C3DVideoEncoder(dtype=dtype)
@@ -63,6 +64,17 @@ class FeatureExtractor:
         self.emotion_model = emotion_model or Emotion2Vec(emotion_cfg,
                                                           dtype=dtype)
         self.video_chunk = video_chunk
+        # Tail-chunk bucketing (opt-in, e.g. (128, 256, 384, 512)): the
+        # reference zero-pads EVERY tail chunk to the full 512 frames
+        # (extract_video_features.py:57-77), so a 240-frame video pays the
+        # encoder for 512. With buckets, the tail runs at the smallest
+        # bucket >= its length. C3D features are BIT-IDENTICAL either way
+        # (temporal convs are local and 'same'-padded with the same zeros);
+        # MViT features differ slightly from the padded-512 quirk (its
+        # attention normalizes over however many pad tokens are present), so
+        # bucketing is off by default for reference parity.
+        self.chunk_buckets = tuple(sorted(chunk_buckets)) if chunk_buckets \
+            else None
         self._seed = seed
         # lazy per-stream init: random weights are materialized (via a jitted
         # init — un-jitted flax init is op-by-op dispatch and pathologically
@@ -103,10 +115,33 @@ class FeatureExtractor:
         return getattr(self.params, which)
 
     def video_features(self, frames: np.ndarray) -> np.ndarray:
-        """(T, H, W, 3) uint8 -> (T, 256)."""
-        chunks, t = chunk_video(frames.astype(np.float32) / 255.0, self.video_chunk)
-        feats = self.video_chunks_features(chunks)
-        return feats.reshape(-1, feats.shape[-1])[:t]
+        """(T, H, W, 3) -> (T, 256). uint8 frames are normalized /255;
+        float frames are assumed already in [0, 1] (same contract as
+        :meth:`video_chunks_features`)."""
+        t = frames.shape[0]
+        norm = (frames.astype(np.float32) / 255.0
+                if frames.dtype == np.uint8 else
+                np.asarray(frames, np.float32))
+        if not self.chunk_buckets:
+            chunks, t = chunk_video(norm, self.video_chunk)
+            feats = self.video_chunks_features(chunks)
+            return feats.reshape(-1, feats.shape[-1])[:t]
+        # bucketed: full video_chunk blocks, then the tail at the smallest
+        # bucket >= its length (one jit specialization per bucket size)
+        out, pos = [], 0
+        while pos < t:
+            rem = t - pos
+            if rem >= self.video_chunk:
+                size = self.video_chunk
+            else:
+                size = next((b for b in self.chunk_buckets if b >= rem),
+                            self.video_chunk)
+            block = np.zeros((size,) + frames.shape[1:], np.float32)
+            n = min(rem, size)
+            block[:n] = norm[pos:pos + n]
+            out.append(self.video_chunks_features(block[None])[0, :n])
+            pos += n
+        return np.concatenate(out, axis=0)
 
     def video_chunks_features(self, chunks: np.ndarray) -> np.ndarray:
         """Pre-chunked (N, chunk, H, W, 3) float [0,1] OR uint8 ->

@@ -221,6 +221,13 @@ class MediaPipeline:
         localizer samples {video_id, streams, duration}."""
         from ..frontends.video import chunk_video
 
+        if getattr(self.extractor, "chunk_buckets", None):
+            # bucketed tail chunks (opt-in): per-video extraction so each
+            # tail runs at its own bucket size (FeatureExtractor docs)
+            video_rows = [self.extractor.video_features(it.frames)
+                          for it in decoded]
+            return self._assemble_samples(decoded, video_rows)
+
         # video: stack every video's chunks into one device call (the
         # reference batches chunks via a bs=10 DataLoader the same way,
         # extract_video_features.py:128-137)
@@ -247,7 +254,10 @@ class MediaPipeline:
         for n, t in zip(counts, true_t):
             video_rows.append(vfeats[ofs:ofs + n].reshape(-1, vfeats.shape[-1])[:t])
             ofs += n
+        return self._assemble_samples(decoded, video_rows)
 
+    def _assemble_samples(self, decoded: List[MediaItem],
+                          video_rows: List[np.ndarray]) -> List[dict]:
         if self.use_audio:
             wavs = [it.wav for it in decoded]
             byola = self.extractor.byola_features_batch(wavs)

@@ -53,9 +53,14 @@ def main(args):
         video_model = getattr(mvit, args.video_encoder)(
             out_dim=256, temporal_size=args.video_chunk,
             dtype=jnp.dtype(fdtype))
+    buckets = None
+    if args.video_chunk_bucketing:
+        q = max(args.video_chunk // 4, 1)
+        buckets = (q, 2 * q, 3 * q, args.video_chunk)
     extractor = FeatureExtractor(seed=args.seed, video_model=video_model,
                                  video_chunk=args.video_chunk,
-                                 compute_dtype=fdtype)
+                                 compute_dtype=fdtype,
+                                 chunk_buckets=buckets)
 
     if args.ckpt:
         path = args.ckpt if os.path.isfile(args.ckpt) or \
@@ -113,6 +118,16 @@ if __name__ == "__main__":
                              "production encoder (video_encoder.py:192 "
                              "mvit_b); it is also the fastest on v5e after "
                              "the round-3 kernel work")
+    parser.add_argument("--video-chunk-bucketing", action="store_true",
+                        help="run tail video chunks at the smallest quarter-"
+                             "of---video-chunk bucket >= their length "
+                             "(512 -> 128/256/384/512) instead of "
+                             "zero-padding to --video-chunk. ~2x encoder "
+                             "throughput on short videos; C3D features are "
+                             "bit-identical, MViT features differ slightly "
+                             "from the reference's padded-512 quirk (its "
+                             "attention sees fewer pad tokens) — off by "
+                             "default for parity")
     parser.add_argument("--video-chunk", type=int, default=512)
     parser.add_argument("--frontend-dtype", default="",
                         choices=["", "float32", "bfloat16"],

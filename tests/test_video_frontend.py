@@ -131,3 +131,49 @@ def test_mvit_shapes(rng):
     out = model.apply(params, jnp.asarray(video))
     assert out.shape == (1, 4, 24)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_chunk_bucketing_c3d_bit_exact(rng):
+    """Tail-chunk bucketing (FeatureExtractor chunk_buckets): C3D features
+    match the reference's pad-to-full-chunk semantics — its temporal convs
+    are local and 'same'-padded, so rows < T see the same zeros either way.
+    (Equality is up to f32 reassociation between the two differently-shaped
+    compiled conv programs, ~1e-4.) The bucketed path must also produce
+    exactly T rows across a multi-chunk video."""
+    from audio_visual_deepfake_detection_tpu.frontends.pipeline import (
+        FeatureExtractor)
+    from audio_visual_deepfake_detection_tpu.frontends.video import (
+        C3DVideoEncoder)
+
+    model = C3DVideoEncoder(n_features=(4, 6, 8, 8), out_dim=16)
+    frames = rng.integers(0, 255, (21, 96, 96, 3), dtype=np.uint8)  # 16 + 5
+
+    ex_pad = FeatureExtractor(video_chunk=16, video_model=model)
+    ex_buck = FeatureExtractor(video_chunk=16, video_model=model,
+                               chunk_buckets=(8, 16))
+    # share lazily-initialized params so the comparison is apples-to-apples
+    ex_buck.params = ex_pad.params
+    a = ex_pad.video_features(frames)
+    b = ex_buck.video_features(frames)
+    assert a.shape == b.shape == (21, 16)
+    np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+
+
+def test_chunk_bucketing_mvit_rows(rng):
+    """Bucketed MViT extraction: right row count and finite values (the
+    VALUES legitimately differ from pad-to-full-chunk — attention
+    normalizes over fewer pad tokens; documented approximation mode)."""
+    from audio_visual_deepfake_detection_tpu.frontends.mvit import (
+        MViTVideoEncoder, generate_config)
+    from audio_visual_deepfake_detection_tpu.frontends.pipeline import (
+        FeatureExtractor)
+
+    model = MViTVideoEncoder(
+        tuple(generate_config([1, 1], [1, 2], [8, 16], out_dim=12)),
+        temporal_size=16, spatial_size=(96, 96))
+    frames = rng.integers(0, 255, (19, 96, 96, 3), dtype=np.uint8)
+    ex = FeatureExtractor(video_chunk=16, video_model=model,
+                          chunk_buckets=(4, 8, 16))
+    out = ex.video_features(frames)   # 16 full + tail 3 -> bucket 4
+    assert out.shape == (19, 12)
+    assert np.isfinite(out).all()
