@@ -98,12 +98,18 @@ def _prepend_token(x: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
 
 
 class PatchEmbed(nn.Module):
-    """conv_proj as an explicit im2col matmul.
+    """conv_proj as unfold matmuls over a merged (W, C) minor axis.
 
     XLA's lowering of the (3,15,15)/stride (1,12,12) patch conv measures
-    11.7 ms per 512-frame chunk on v5e; stacking the strided window slices
-    and contracting (kt*kh*kw*cin) on the MXU measures 5.4 ms (BENCH_NOTES
-    round 3). Parameters keep torchvision's Conv3d layout
+    11.7 ms per 512-frame chunk on v5e; a stacked-strided-slice im2col got
+    5.4 ms but every stack it built carried the 3-wide channel axis as the
+    MINOR dim — the TPU tiles the minor axis to 128 lanes, so those
+    intermediates cost ~42x their logical bytes. Here (W, C) is flattened
+    into one wide minor axis up front; the W-unfold (+ channel passthrough)
+    and H-unfold then run as 0/1 selection matmuls on the MXU (exact: one
+    nonzero per output element), the T-unfold is kt shifted slices, and the
+    only narrow-minor tensor left is the final (kt*kh*kw*cin) patch matmul
+    input. Parameters keep torchvision's Conv3d layout
     (kernel (kt,kh,kw,cin,cout), bias (cout,)) so ``convert_mvit_torch``
     and existing checkpoints are unaffected.
     """
@@ -118,25 +124,43 @@ class PatchEmbed(nn.Module):
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
         kt, kh, kw = self.kernel
         st, sh, sw = self.stride
-        cin = v.shape[-1]
+        b, t_in, h_in, w_in, cin = v.shape
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (kt, kh, kw, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         pt, ph, pw = self.padding
-        v = jnp.pad(v, ((0, 0), (pt, pt), (ph, ph), (pw, pw), (0, 0)))
-        v = v.astype(self.dtype)
-        ot, oh, ow = [(s - k) // t + 1 for s, k, t in
-                      zip(v.shape[1:4], self.kernel, self.stride)]
-        tw = jnp.stack([v[:, r:r + st * (ot - 1) + 1:st]
-                        for r in range(kt)], axis=2)   # (B,ot,kt,H,W,C)
-        hw = jnp.stack([tw[:, :, :, r:r + sh * (oh - 1) + 1:sh]
-                        for r in range(kh)], axis=4)   # (B,ot,kt,oh,kh,W,C)
-        ww = jnp.stack([hw[:, :, :, :, :, r:r + sw * (ow - 1) + 1:sw]
-                        for r in range(kw)], axis=6)   # (B,ot,kt,oh,kh,ow,kw,C)
-        patches = ww.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-            v.shape[0], ot, oh, ow, kt * kh * kw * cin)
-        out = patches @ w.astype(self.dtype).reshape(-1, self.features)
-        return out + bias.astype(self.dtype)
+        # merge (W, C) BEFORE padding: the W pad becomes a pw*cin pad of the
+        # merged axis, and no materialized tensor ever has a minor dim < 128
+        x = v.reshape(b, t_in, h_in, w_in * cin)
+        x = jnp.pad(x, ((0, 0), (pt, pt), (ph, ph), (pw * cin, pw * cin)))
+        x = x.astype(self.dtype)
+        tp, hp, mp = x.shape[1:]
+        ot = (tp - kt) // st + 1
+        oh = (hp - kh) // sh + 1
+        ow = (w_in + 2 * pw - kw) // sw + 1
+        # W-unfold + channel passthrough: one nonzero per column -> exact
+        sw_mat = np.zeros((mp, ow * kw * cin), np.float32)
+        for o in range(ow):
+            for k in range(kw):
+                for c in range(cin):
+                    sw_mat[(o * sw + k) * cin + c, (o * kw + k) * cin + c] = 1.0
+        x = jnp.einsum("bthm,mj->bthj", x, jnp.asarray(sw_mat, x.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        # H-unfold
+        sh_mat = np.zeros((hp, oh * kh), np.float32)
+        for o in range(oh):
+            for k in range(kh):
+                sh_mat[o * sh + k, o * kh + k] = 1.0
+        x = jnp.einsum("bthj,hq->btqj", x, jnp.asarray(sh_mat, x.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        # T-unfold: kt shifted slices (stride st along T)
+        x = jnp.stack([x[:, r:r + st * (ot - 1) + 1:st] for r in range(kt)],
+                      axis=2)                      # (B,ot,kt,oh*kh,ow*kw*cin)
+        x = x.reshape(b, ot, kt, oh, kh, ow, kw * cin)
+        w3 = w.astype(self.dtype).reshape(kt, kh, kw * cin, self.features)
+        out = jnp.einsum("bopqhwk,phkf->boqwf", x, w3,
+                         preferred_element_type=jnp.float32)
+        return out.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class TokenPool(nn.Module):

@@ -69,9 +69,21 @@ SLOW_MODULES = {
 }
 
 
+# Individually-slow tests inside otherwise-fast modules (each is a >80 s
+# train-step-sized compile on this CPU; their coverage is duplicated in the
+# slow tier by test_train / test_preempt's other cases). Demoting them keeps
+# the fast gate reliably under ~10 min even on a cold compile cache.
+SLOW_ITEMS = {
+    "test_preempt_resume_matches_uninterrupted_run",
+    "test_losses_finite_and_grad",
+    "test_masked_positions_produce_masked_outputs",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__ in SLOW_MODULES:
+        if (item.module.__name__ in SLOW_MODULES
+                or item.originalname in SLOW_ITEMS):
             item.add_marker(pytest.mark.slow)
 
 
