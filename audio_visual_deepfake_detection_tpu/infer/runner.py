@@ -202,6 +202,8 @@ def inference_one_epoch(
     seen_offset: int = 0,
     preempt=None,
     collect_items: bool = True,
+    prefetch_depth: int = 2,
+    mesh=None,
 ):
     """Stream detection results; returns the flat prediction table for
     evaluation plus all result items. ``loader_batches`` yields collated
@@ -215,9 +217,23 @@ def inference_one_epoch(
     ``collect_items=False`` returns ``(None, None)`` and retains nothing
     between flushes — required for flush-to-disk sweeps (inference.py) where
     holding every shard item (up to max_seg_num segments/scores per video,
-    ~49k videos per shard) would grow host memory unboundedly."""
+    ~49k videos per shard) would grow host memory unboundedly.
+
+    ``prefetch_depth`` double-buffers the infeed: up to that many batches
+    are device_put ahead of consumption (``parallel.mesh.device_prefetch``),
+    so the host->device transfer of batch N+1 overlaps the device compute of
+    batch N — the TPU analogue of the reference's persistent DataLoader
+    workers (libs/datasets/datasets.py:35), which only overlapped host IO
+    while the CUDA transfer stayed synchronous inside each forward
+    (av_fd_no_recon.py:476-477). ``mesh`` shards each prefetched batch over
+    its data axis instead of a plain device_put. 0 disables (batches go to
+    infer_fn untouched, e.g. when the caller already device_put them)."""
     if output_folder:
         os.makedirs(output_folder, exist_ok=True)
+    if prefetch_depth > 0:
+        from ..parallel.mesh import device_prefetch
+        loader_batches = device_prefetch(loader_batches, mesh=mesh,
+                                         depth=prefetch_depth)
     batch_results: List[dict] = []
     all_items: List[dict] = []
     seen = 0

@@ -127,6 +127,7 @@ class MediaPipeline:
         max_fps: float = 31.0,
         use_audio: bool = True,
         host_resize: Optional[Tuple[int, int]] = (96, 96),
+        decode_workers: int = 4,
     ):
         self.extractor = extractor
         self.cfg = cfg
@@ -137,6 +138,12 @@ class MediaPipeline:
         self.max_fps = max_fps
         self.use_audio = use_audio
         self.host_resize = host_resize
+        # host decode fan-out (the reference's DataLoader(bs=10) extraction
+        # workers + Pool(16) wav extraction, extract_video_features.py:128-137
+        # / preprocess/extract_wav.py:43): N threads each issuing one
+        # GIL-released native decode call. Results keep item order (pool.map),
+        # so the worker count cannot change any output.
+        self.decode_workers = max(1, int(decode_workers))
         self._infer_fn = build_online_inference_fn(
             cfg, test_cfg, ds_feat_stride, ds_num_frames)
         self.stats: Dict[str, float] = {}
@@ -301,7 +308,7 @@ class MediaPipeline:
         caps = self.caps or self._default_caps(items)
         groups = [list(items[i:i + self.batch_size])
                   for i in range(0, len(items), self.batch_size)]
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
             pending = []
             gi = 0
             while gi < len(groups) or pending:

@@ -75,7 +75,8 @@ def main(args):
         extractor, cfg, test_cfg, params,
         ds_feat_stride=float(ds.get("feat_stride", 1)),
         ds_num_frames=float(ds.get("num_frames", 1)),
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        decode_workers=args.decode_workers)
     # SIGTERM -> finish the in-flight batch, flush, exit 0; restart with
     # --resume to finish the sweep with no video redone
     guard = PreemptionGuard()
@@ -129,6 +130,12 @@ if __name__ == "__main__":
                              "attention sees fewer pad tokens) — off by "
                              "default for parity")
     parser.add_argument("--video-chunk", type=int, default=512)
+    parser.add_argument("--decode-workers", type=int, default=4,
+                        help="host video/audio decode threads (each issues "
+                             "one GIL-released native decode call); raise "
+                             "until the device stops waiting on the host — "
+                             "the reference used DataLoader workers + "
+                             "Pool(16) for the same stage")
     parser.add_argument("--frontend-dtype", default="",
                         choices=["", "float32", "bfloat16"],
                         help="frontend compute dtype (default: the config's "

@@ -127,6 +127,28 @@ def test_media_pipeline_order_independent_of_batch(rng, tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(TINY_ROOT), reason="tinydataset absent")
+def test_media_pipeline_decode_worker_count_invariant(tmp_path):
+    """The host decode fan-out (--decode-workers) must not reorder or alter
+    results: 1 worker and 4 workers produce identical detections per video
+    on real mp4 decodes (pool.map keeps item order)."""
+    pytest.importorskip("cv2")
+    items, _ = discover_media(os.path.join(TINY_ROOT, "metadata"),
+                              os.path.join(TINY_ROOT, "data"), limit=6)
+    cfg = _tiny_cfg()
+    params, _ = init_model(cfg, 2, seed=0)
+    out = {}
+    for workers in (1, 4):
+        pipe = MediaPipeline(_tiny_extractor(), cfg, _test_cfg(), params,
+                             batch_size=3, decode_workers=workers)
+        _, out[workers] = pipe.run(items)
+    assert [r["video_id"] for r in out[1]] == [r["video_id"] for r in out[4]]
+    for a, b in zip(out[1], out[4]):
+        np.testing.assert_array_equal(a["segments"], b["segments"])
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+        np.testing.assert_array_equal(a["video_cls"], b["video_cls"])
+
+
+@pytest.mark.skipif(not os.path.isdir(TINY_ROOT), reason="tinydataset absent")
 def test_media_pipeline_tinydataset(tmp_path):
     """Real tinydataset mp4 decode (cv2) through the full pipeline: all 12
     videos -> submission + mAP vs the real metadata GT."""

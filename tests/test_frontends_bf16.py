@@ -92,12 +92,18 @@ def test_mvit_bf16_close(rng):
                                   a.dtype)
                       if "rel_pos" in jax.tree_util.keystr(p) else a),
         params)
-    ref = m32.apply(params, x)
+    # jit both paths: it's the production configuration, and this machine's
+    # XLA:CPU rejects eagerly-dispatched bf16 x bf16 -> f32 dots at runtime
+    # ("Unsupported element type for DotThunk") that the jitted pipeline
+    # rewrites away
+    ref = jax.jit(m32.apply)(params, x)
     assert ref.dtype == jnp.float32
-    got = mvit.mvit_v2_t(out_dim=32, temporal_size=4,
-                         dtype=jnp.bfloat16).apply(params, x)
+    got = jax.jit(mvit.mvit_v2_t(out_dim=32, temporal_size=4,
+                                 dtype=jnp.bfloat16).apply)(params, x)
     assert got.dtype == jnp.float32
-    _assert_bf16_close(ref, got)
+    # rel=0.1: the 10-block stack measures median err ~0.021x scale under
+    # jit (0.018 eager — XLA fusion reassociates a few bf16 roundings)
+    _assert_bf16_close(ref, got, rel=0.1)
 
 
 def test_feature_extractor_bf16_outputs_f32(rng):
