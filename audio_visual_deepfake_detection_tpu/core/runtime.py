@@ -117,3 +117,17 @@ def setup_jax(cache_dir: str | None = None) -> None:
         # standard remat path at production shapes (see fused_block.py)
         if os.environ.get("AVDD_FUSED_TRAIN", "0") == "1":
             fused_block.TRAIN_ENABLED = True
+
+    # Fused MViT pooled-attention core (ops/pallas/mvit_attention.py) —
+    # OPT-IN (AVDD_FUSED_MVIT=1): scores + rel-pos band + softmax + P@V +
+    # residual in one VMEM residency per q-tile. Measured a WASH at
+    # production geometry (mvit_v2_b T=512 bf16 full forward 23.60 ms fused
+    # vs 23.45 XLA; per-block s1 1.83->1.70, s3 0.98->1.01, s4 0.70->0.64 —
+    # BENCH_NOTES round 4): block time is spread across pools/layout
+    # small-ops, not the score matrices, and the 24 Mosaic kernel compiles
+    # add ~10+ min of cold-start. Kept for geometries where the score
+    # matrices dominate (longer chunks / larger spatial grids).
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MVIT", "0") == "1":
+        from ..ops.pallas import mvit_attention
+
+        mvit_attention.ENABLED = True

@@ -82,6 +82,17 @@ def _prod(xs):
     return out
 
 
+def _use_fused_attention(ng: int) -> bool:
+    """Dispatch to the fused Pallas pooled-attention core
+    (ops/pallas/mvit_attention.py). ENABLED is set by core.runtime.setup_jax
+    on TPU; INTERPRET forces the interpreter path (CPU tests)."""
+    from ..ops.pallas import mvit_attention as _fma
+
+    if not (_fma.ENABLED or _fma.INTERPRET):
+        return False
+    return ng <= 512 or ng % 512 == 0
+
+
 def _prepend_token(x: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
     """concatenate([tok, x], axis=-2) written as pad + row-0 select.
 
@@ -339,6 +350,44 @@ class MultiscaleAttention(nn.Module):
                                    e_t.astype(cd), **f32p)
                         + jnp.einsum("...s,sk->...k", bhw.astype(cd),
                                      e_hw.astype(cd), **f32p))
+            if khw == 1 and _use_fused_attention(qt * qh * qw):
+                # Fused Pallas path (ops/pallas/mvit_attention.py): one VMEM
+                # residency for scores + band + softmax + P@V + residual —
+                # the (N_q, N_k) score matrix and its exp never touch HBM.
+                # The cls-token QUERY row (one row per head) stays in XLA and
+                # is re-attached with the pad+select trick; k/v are permuted
+                # [grid..., cls] so the band adds with no lane shift.
+                from ..ops.pallas import mvit_attention as _fma
+
+                ng = qt * qh * qw
+                nk = k.shape[2]
+                dh = d
+                band = bias_t.reshape(b, nh, ng, kt)
+                k_perm = jnp.concatenate([k[:, :, 1:], k[:, :, :1]], axis=2)
+                v_perm = jnp.concatenate([v[:, :, 1:], v[:, :, :1]], axis=2)
+                out_grid = _fma.fused_pooled_attention(
+                    q[:, :, 1:].reshape(b * nh, ng, dh),
+                    k_perm.reshape(b * nh, nk, dh),
+                    v_perm.reshape(b * nh, nk, dh),
+                    band.reshape(b * nh, ng, kt),
+                    scale=dh ** -0.5, interpret=_fma.INTERPRET,
+                ).reshape(b, nh, ng, dh)
+                # cls query row: plain (bias-free) attention, no residual
+                # (residual_with_cls_embed=False), computed in XLA
+                att_cls = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q[:, :, :1] * (dh ** -0.5), k,
+                    preferred_element_type=jnp.float32)
+                mc = jnp.max(att_cls, axis=-1, keepdims=True)
+                ec = jnp.exp(att_cls - mc).astype(self.dtype)
+                zc = jnp.sum(ec, axis=-1, dtype=jnp.float32)
+                out_cls = jnp.einsum("bhqk,bhkd->bhqd", ec.astype(v.dtype),
+                                     v, preferred_element_type=jnp.float32)
+                out_cls = (out_cls / zc[..., None]).astype(v.dtype)
+                out = _prepend_token(out_grid, out_cls)
+                n_q = out.shape[2]
+                out = out.transpose(0, 2, 1, 3).reshape(b, n_q, out_dim)
+                out = nn.Dense(out_dim, dtype=self.dtype, name="proj")(out)
+                return out, q_thw
             bias = bias.reshape(b, nh, qt * qh * qw, kt * kh * kw)
             att = att + jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
 
