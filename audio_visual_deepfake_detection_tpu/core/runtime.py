@@ -131,3 +131,14 @@ def setup_jax(cache_dir: str | None = None) -> None:
         from ..ops.pallas import mvit_attention
 
         mvit_attention.ENABLED = True
+
+    # Fused full-MHA kernel for the Emotion2Vec trunk
+    # (ops/pallas/full_attention.py) — default ON for TPU
+    # (AVDD_FUSED_MHA=0 to disable): the (B, H, T, T) f32 score matrices were
+    # the bulk of Emotion2Vec's measured 41 GB HBM traffic (round-4
+    # roofline); one kernel shape serves all 16 blocks, so the Mosaic
+    # compile cost is a single kernel.
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MHA", "1") == "1":
+        from ..ops.pallas import full_attention
+
+        full_attention.ENABLED = True

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.pallas import full_attention as _fmha
+
 # Mixed-precision policy (matching the localizer's): params live in f32;
 # ``dtype=bfloat16`` runs the matmuls/convs on the MXU in bf16 while flax
 # normalization layers still compute their statistics in f32 and the
@@ -97,6 +99,13 @@ class AltAttention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * (d ** -0.5), qkv[1], qkv[2]
+        if (_fmha.ENABLED or _fmha.INTERPRET) and alibi_bias is None:
+            # fused path: scores + key bias + softmax + P@V in one VMEM
+            # residency per (batch, head) — no (B, H, T, T) HBM round-trip
+            out = _fmha.full_mha(q, k, v, padding_mask,
+                                 interpret=_fmha.INTERPRET)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                          preferred_element_type=jnp.float32)
         if alibi_bias is not None:
