@@ -71,7 +71,17 @@ def conv_output_length(length: int, spec=CONV_SPEC) -> int:
 
 
 class ConvFeatureExtractor(nn.Module):
-    """fairseq ConvFeatureExtractionModel, mode='layer_norm', no conv bias."""
+    """fairseq ConvFeatureExtractionModel, mode='layer_norm', no conv bias.
+
+    Kept as lax.conv (nn.Conv): two rounds of explicit tap-matmul / im2col
+    rewrites (strided-slice + small-K dot_general forms) measured 5x SLOWER
+    and OOM-prone on v5e — XLA lowers contraction-dim-10 dots through a
+    broadcast temp that blew the chained-bench to 15 GB of scratch
+    (round-4 BENCH_NOTES, "conv extractor forms"). The conv lowering's
+    measured 45 ms (48x10 s, bf16) vs a 13 ms HBM light-speed stands as the
+    known gap; closing it needs a fused Pallas conv+LN+GELU, not an XLA
+    reshuffle.
+    """
 
     spec: Tuple[Tuple[int, int, int], ...] = CONV_SPEC
     dtype: Any = jnp.float32

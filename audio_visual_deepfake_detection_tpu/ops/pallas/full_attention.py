@@ -45,58 +45,73 @@ ENABLED = False
 # Tests set this to route the same dispatch through the pallas interpreter
 # on CPU (kernel semantics without TPU hardware).
 INTERPRET = False
+# Heads packed per grid step (0 = all): per-head work is tiny, so packing
+# amortizes the per-step grid overhead; benches can override for A/Bs.
+HEADS_PER_STEP = 0
 
 _NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
-    q = q_ref[0, 0]                   # (T, d)  compute dtype, pre-scaled
-    k = k_ref[0, 0]                   # (T, d)
-    v = v_ref[0, 0]                   # (T, d)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, hs: int):
     bias = bias_ref[0]                # (1, T)  f32 additive key bias
+    # hs heads share one grid step (unrolled): per-head work is tiny
+    # (~0.07 GFLOP at T=512), so one head per step would be dominated by
+    # the per-step grid overhead across B*H steps
+    for i in range(hs):
+        q = q_ref[0, i]               # (T, d)  compute dtype, pre-scaled
+        k = k_ref[0, i]               # (T, d)
+        v = v_ref[0, i]               # (T, d)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (T, T) f32
+        scores = scores + bias                         # broadcast over rows
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m).astype(q.dtype)
+        z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)  # >= 1
+        out = jax.lax.dot_general(
+            e, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (T, d) f32
+        out_ref[0, i] = (out / z).astype(out_ref.dtype)
 
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (T, T) f32
-    scores = scores + bias                             # broadcast over rows
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m).astype(q.dtype)
-    z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)  # >= 1
-    out = jax.lax.dot_general(
-        e, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (T, d) f32
-    out_ref[0, 0] = (out / z).astype(out_ref.dtype)
 
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _dispatch(q, k, v, bias, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "heads_per_step"))
+def _dispatch(q, k, v, bias, *, interpret: bool, heads_per_step: int = 0):
     b, h, t, d = q.shape
+    hs = heads_per_step or h
+    while h % hs:                     # hs must divide h
+        hs -= 1
     grid_spec = pl.GridSpec(
-        grid=(b, h),
+        grid=(b, h // hs),
         in_specs=[
-            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, hs, t, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, hs, t, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, hs, t, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             # per-batch key bias; head-step-invariant, so the pallas pipeline
             # skips its re-fetch between consecutive head steps
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, hs, t, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, hs=hs),
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         grid_spec=grid_spec,
+        # head-packed blocks exceed the default 16 MiB scoped-vmem budget at
+        # production geometry (hs=12, T=512: ~18 MiB with double-buffered
+        # pipeline blocks); v5e VMEM is 128 MiB — give the kernel headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, bias)
 
 
-def full_mha(q, k, v, padding_mask=None, *, interpret: bool = False):
+def full_mha(q, k, v, padding_mask=None, *, interpret: bool = False,
+             heads_per_step: int = 0):
     """softmax(q @ k^T + key_bias) @ v with everything per-(batch, head)
     VMEM-resident.
 
@@ -117,5 +132,6 @@ def full_mha(q, k, v, padding_mask=None, *, interpret: bool = False):
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         bias = jnp.pad(bias, ((0, 0), (0, tp - t)), constant_values=_NEG)
-    out = _dispatch(q, k, v, bias[:, None, :], interpret=interpret)
+    out = _dispatch(q, k, v, bias[:, None, :], interpret=interpret,
+                    heads_per_step=heads_per_step or HEADS_PER_STEP)
     return out[:, :, :t]
