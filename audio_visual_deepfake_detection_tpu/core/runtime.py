@@ -133,12 +133,15 @@ def setup_jax(cache_dir: str | None = None) -> None:
         mvit_attention.ENABLED = True
 
     # Fused full-MHA kernel for the Emotion2Vec trunk
-    # (ops/pallas/full_attention.py) — default ON for TPU
-    # (AVDD_FUSED_MHA=0 to disable): the (B, H, T, T) f32 score matrices were
-    # the bulk of Emotion2Vec's measured 41 GB HBM traffic (round-4
-    # roofline); one kernel shape serves all 16 blocks, so the Mosaic
-    # compile cost is a single kernel.
-    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MHA", "1") == "1":
+    # (ops/pallas/full_attention.py) — OPT-IN (AVDD_FUSED_MHA=1): measured
+    # SLOWER than XLA at production geometry (12-block trunk 70.2 ms fused
+    # vs 64.8 XLA, any head packing — BENCH_NOTES round 4). The trunk is
+    # bound by the f32 softmax/exp VPU passes over the (B, H, T, T) scores,
+    # which the kernel pays identically; removing the score HBM round-trip
+    # bought nothing because XLA's fusion already kept it off the critical
+    # path. Kept for geometries with much longer T where score *capacity*
+    # (not bandwidth) forces XLA to materialize.
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MHA", "0") == "1":
         from ..ops.pallas import full_attention
 
         full_attention.ENABLED = True
