@@ -176,7 +176,15 @@ class PatchEmbed(nn.Module):
 
 class TokenPool(nn.Module):
     """Depthwise conv pooling of (B, H, N, d) head tokens over a (T, Hs, Ws)
-    grid, skipping the class token; conv groups = head_dim, followed by LN."""
+    grid, skipping the class token; conv groups = head_dim, followed by LN.
+
+    Kept as lax.conv: a shifted-tap rewrite (27 strided-slice multiply-adds
+    on a zero-padded grid) won in an isolated probe (2.86 vs 3.43 ms for
+    stage 3's 48 pools) but REGRESSED the full model 24.3 -> 27.1 ms/chunk —
+    in-model, XLA fuses the small depthwise conv into its neighbors better
+    than the 27-slice chain (round-4 BENCH_NOTES). Isolated-op wins don't
+    transfer at these sizes; wall-clock of the whole forward is the only
+    arbiter."""
 
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int]
@@ -463,11 +471,15 @@ class MViTVideoEncoder(nn.Module):
     temporal_size: int = 512
     spatial_size: Tuple[int, int] = (96, 96)
     dtype: Any = jnp.float32
-    # HBM-bound: per-chunk time DEGRADES with chunk batch (31.7 -> 42.4 ms
-    # at 16 chunks on v5e — the stage-1 intermediates outgrow what XLA
-    # schedules well), so FeatureExtractor runs chunks sequentially via
-    # lax.map (C3D is the opposite: 45.5 -> 32.7 ms/chunk batched)
+    # Batch scaling is stage-dependent (round-4 bisection, v5e, per chunk):
+    # stage 1 IMPROVES batched (7.50 -> 5.31 ms at 16 chunks) while stages
+    # 2-4 DEGRADE (stage 3: 10.3 -> 18.8 — the small-grid score fusions
+    # spill to HBM once batched). FeatureExtractor therefore batches
+    # blocks[:batch_front_split] across chunks and lax.maps the rest
+    # chunk-by-chunk; C3D is the opposite (45.5 -> 32.7 ms/chunk batched)
+    # and keeps the plain batched apply.
     prefers_sequential_chunks: bool = True
+    batch_front_split: int = 2
 
     def _config_grid(self) -> Tuple[int, int, int]:
         """Token grid after the patch-embed conv at the configured sizes."""
@@ -477,31 +489,73 @@ class MViTVideoEncoder(nn.Module):
             for s, p, k, st in zip(sizes, self.patch_padding,
                                    self.patch_kernel, self.patch_stride))
 
-    @nn.compact
-    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+    def patch_grid(self, video_shape) -> Tuple[int, int, int]:
+        """Runtime (T', H', W') token grid for a (B, T, H, W, 3) input."""
+        sizes = tuple(video_shape[1:4])
+        return tuple(
+            (s + 2 * p - k) // st + 1
+            for s, p, k, st in zip(sizes, self.patch_padding,
+                                   self.patch_kernel, self.patch_stride))
+
+    def thw_after(self, thw: Tuple[int, int, int],
+                  split: int) -> Tuple[int, int, int]:
+        """Grid after blocks[:split] ('same'-padded strided q pooling)."""
+        for cfg in self.block_setting[:split]:
+            thw = tuple((s + st - 1) // st
+                        for s, st in zip(thw, cfg.stride_q))
+        return thw
+
+    def setup(self):
         c0 = self.block_setting[0].input_channels
-        x = PatchEmbed(c0, self.patch_kernel, self.patch_stride,
-                       self.patch_padding, dtype=self.dtype,
-                       name="conv_proj")(video)
+        self.conv_proj = PatchEmbed(c0, self.patch_kernel, self.patch_stride,
+                                    self.patch_padding, dtype=self.dtype)
+        self.class_token = self.param("class_token", nn.initializers.zeros,
+                                      (1, 1, c0))
+        cfg_thw = self._config_grid()
+        blocks = []
+        for i, cfg in enumerate(self.block_setting):
+            blocks.append(MultiscaleBlock(cfg, cfg_thw, dtype=self.dtype,
+                                          name=f"block_{i}"))
+            cfg_thw = tuple(
+                s // st for s, st in zip(cfg_thw, cfg.stride_q))
+        self.blocks = blocks
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+
+    def encode_front(self, video: jnp.ndarray, split: int) -> jnp.ndarray:
+        """Patch embed + cls token + blocks[:split] -> (B, N+1, C) tokens.
+
+        The split exists so callers can batch the wide-grid early stages
+        across chunks while running the narrow-grid later stages chunk-by-
+        chunk (or vice versa) — the two regimes measured opposite batch
+        scaling on v5e (BENCH_NOTES round 4). Use ``thw_after(patch_grid(
+        shape), split)`` for the grid to hand encode_back."""
+        x = self.conv_proj(video)
         b, t, hs, ws, ch = x.shape
         thw = (t, hs, ws)
         x = x.reshape(b, t * hs * ws, ch)
-        cls_tok = self.param("class_token", nn.initializers.zeros, (1, 1, ch))
-        x = _prepend_token(x, cls_tok)
+        x = _prepend_token(x, self.class_token)
+        for blk in self.blocks[:split]:
+            x, thw = blk(x, thw)
+        return x
 
-        cfg_thw = self._config_grid()
-        for i, cfg in enumerate(self.block_setting):
-            x, thw = MultiscaleBlock(cfg, cfg_thw, dtype=self.dtype,
-                                     name=f"block_{i}")(x, thw)
-            cfg_thw = tuple(
-                s // st for s, st in zip(cfg_thw, cfg.stride_q))
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+    def encode_back(self, x: jnp.ndarray, thw: Tuple[int, int, int],
+                    split: int) -> jnp.ndarray:
+        """blocks[split:] + final LN + per-frame spatial mean."""
+        for blk in self.blocks[split:]:
+            x, thw = blk(x, thw)
+        x = self.norm(x)
         x = x[:, 1:]
         # (B, T'*H'*W', C): average the spatial tokens per frame to per-frame
         # features; with the reference's strides H'=W'=1 at the final stage
-        t_out = thw[0]
-        x = x.reshape(b, t_out, thw[1] * thw[2], x.shape[-1])
+        b = x.shape[0]
+        x = x.reshape(b, thw[0], thw[1] * thw[2], x.shape[-1])
         return x.mean(axis=2, dtype=jnp.float32)
+
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        n = len(self.block_setting)
+        x = self.encode_front(video, n)
+        return self.encode_back(x, self.thw_after(
+            self.patch_grid(video.shape), n), n)
 
 
 def convert_mvit_torch(state_dict, template, prefix: str = ""):
@@ -588,18 +642,18 @@ def mvit_v2_t(out_dim: int = 256, temporal_size: int = 512,
               dtype: Any = jnp.float32) -> MViTVideoEncoder:
     return MViTVideoEncoder(tuple(generate_config(
         [1, 2, 5, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)),
-        temporal_size=temporal_size, dtype=dtype)
+        temporal_size=temporal_size, dtype=dtype, batch_front_split=1)
 
 
 def mvit_v2_s(out_dim: int = 256, temporal_size: int = 512,
               dtype: Any = jnp.float32) -> MViTVideoEncoder:
     return MViTVideoEncoder(tuple(generate_config(
         [1, 2, 11, 2], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)),
-        temporal_size=temporal_size, dtype=dtype)
+        temporal_size=temporal_size, dtype=dtype, batch_front_split=1)
 
 
 def mvit_v2_b(out_dim: int = 256, temporal_size: int = 512,
               dtype: Any = jnp.float32) -> MViTVideoEncoder:
     return MViTVideoEncoder(tuple(generate_config(
         [2, 3, 16, 3], [1, 2, 4, 8], [96, 192, 384, 768], out_dim)),
-        temporal_size=temporal_size, dtype=dtype)
+        temporal_size=temporal_size, dtype=dtype, batch_front_split=2)

@@ -82,13 +82,31 @@ class FeatureExtractor:
         # the streams actually used
         self.params = params if params is not None else FrontendParams(
             video=None, byola=None, emotion=None)
+        split = getattr(self.video_model, "batch_front_split", 0)
         if getattr(self.video_model, "prefers_sequential_chunks", False):
-            # HBM-bound encoders (MViT) process chunks one at a time inside
-            # the jit — per-chunk time degrades with chunk batch (see
-            # MViTVideoEncoder.prefers_sequential_chunks); compute-bound
-            # C3D keeps the batched apply
-            self._video_fn = jax.jit(lambda p, x: jax.lax.map(
-                lambda c: self.video_model.apply(p, c[None])[0], x))
+            if split:
+                # Hybrid chunk strategy (MViT): the wide-grid early stages
+                # IMPROVE with chunk batch (stage 1: 7.50 -> 5.31 ms/chunk at
+                # 16 chunks) while the narrow-grid later stages DEGRADE
+                # (stage 3: 10.3 -> 18.8 — their score fusions spill once
+                # batched; round-4 bisection). So: blocks[:split] batched
+                # across chunks, blocks[split:] chunk-by-chunk via lax.map.
+                m = self.video_model
+
+                def _hybrid(p, x):
+                    front = m.apply(p, x, split, method="encode_front")
+                    thw = m.thw_after(m.patch_grid(x.shape), split)
+                    return jax.lax.map(
+                        lambda tkn: m.apply(p, tkn[None], thw, split,
+                                            method="encode_back")[0], front)
+
+                self._video_fn = jax.jit(_hybrid)
+            else:
+                # HBM-bound encoders process chunks one at a time inside
+                # the jit (see MViTVideoEncoder.prefers_sequential_chunks);
+                # compute-bound C3D keeps the batched apply
+                self._video_fn = jax.jit(lambda p, x: jax.lax.map(
+                    lambda c: self.video_model.apply(p, c[None])[0], x))
         else:
             self._video_fn = jax.jit(self.video_model.apply)
         self._byola_fn = jax.jit(

@@ -159,15 +159,19 @@ def measure_e2e() -> float:
     def e2e(lp, fp, frames_u8, wav):
         # video: uint8 -> [0,1] f32 -> MViT-v2-b -> (B, CHUNK, 256) f32,
         # valid rows = true frame count (chunk tail is zero-pad).
-        # lax.map (batch-1 encoder steps) instead of one batched apply: the
-        # HBM-bound encoder degrades with chunk batch (31.7 -> 42.4 ms/chunk
-        # at 16 chunks — the stage-1 intermediates blow past the working set
-        # XLA schedules well), while audio + localizer below stay batched.
-        def enc_one(fr):
-            return video_model.apply(
-                fp["video"], fr[None].astype(jnp.float32) / 255.0)[0]
-
-        v = jax.lax.map(enc_one, frames_u8)
+        # Hybrid chunk strategy (mirrors FeatureExtractor): the wide-grid
+        # stage 1 IMPROVES with chunk batch (7.50 -> 5.31 ms/chunk at 16)
+        # while the narrow-grid stages 2-4 DEGRADE batched (stage 3:
+        # 10.3 -> 18.8 — score fusions spill to HBM), so blocks[:split] run
+        # batched across chunks and blocks[split:] chunk-by-chunk.
+        x = frames_u8.astype(jnp.float32) / 255.0
+        split = video_model.batch_front_split
+        front = video_model.apply(fp["video"], x, split,
+                                  method="encode_front")
+        thw = video_model.thw_after(video_model.patch_grid(x.shape), split)
+        v = jax.lax.map(
+            lambda tkn: video_model.apply(fp["video"], tkn[None], thw, split,
+                                          method="encode_back")[0], front)
         v = v[:, :N_FRAMES]
         lms = jnp.swapaxes(byola_log_mel(wav), -1, -2)
         by = byola_model.apply(fp["byola"], lms)[:, :BYOLA_ROWS]

@@ -177,3 +177,35 @@ def test_chunk_bucketing_mvit_rows(rng):
     out = ex.video_features(frames)   # 16 full + tail 3 -> bucket 4
     assert out.shape == (19, 12)
     assert np.isfinite(out).all()
+
+
+def test_mvit_hybrid_split_matches_full(rng):
+    """encode_front/encode_back at any split == the plain full apply, and the
+    FeatureExtractor hybrid strategy (front batched over chunks, back via
+    lax.map) == per-chunk full applies."""
+    from audio_visual_deepfake_detection_tpu.frontends.mvit import (
+        MViTVideoEncoder, generate_config)
+
+    cfgs = tuple(generate_config([1, 1], [1, 2], [8, 16], out_dim=24))
+    # 96x96 spatial: FeatureExtractor resizes anything else to the encoder's
+    # input size, which would defeat the equality check below
+    model = MViTVideoEncoder(cfgs, temporal_size=4,
+                             batch_front_split=1)
+    video = jnp.asarray(rng.standard_normal((3, 4, 96, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video[:1])
+    want = model.apply(params, video)
+    for split in (0, 1, 2):
+        front = model.apply(params, video, split, method="encode_front")
+        thw = model.thw_after(model.patch_grid(video.shape), split)
+        got = model.apply(params, front, thw, split, method="encode_back")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=0)
+    # the pipeline's hybrid dispatch end to end
+    from audio_visual_deepfake_detection_tpu.frontends.pipeline import (
+        FeatureExtractor, FrontendParams)
+
+    ex = FeatureExtractor(
+        params=FrontendParams(video=params, byola=None, emotion=None),
+        video_model=model, video_chunk=4)
+    got = ex.video_chunks_features(np.asarray(video))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=0)
