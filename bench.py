@@ -122,7 +122,11 @@ def measure_e2e() -> float:
         linear_resample_time)
     from audio_visual_deepfake_detection_tpu.train.state import init_model
 
-    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "16"))  # 8: 19.9, 16: 21.4 v/s
+    # Round-4 sweep with the hybrid encoder strategy (videos/s): 8: 33.7,
+    # 16: 37.3, 32: 38.8, 64: 39.7, 128: OOM (patch-embed im2col temps hit
+    # 4x ~5.3 GB). The batched front + batched audio amortize better with
+    # more chunks in flight; 64 is the HBM ceiling.
+    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "64"))
     CHUNK = 512
     DUR, FPS = 9.6, 25.0
     N_FRAMES = int(DUR * FPS)                      # 240
