@@ -124,9 +124,11 @@ def measure_e2e() -> float:
 
     # Round-4 sweep with the hybrid encoder strategy (videos/s): 8: 33.7,
     # 16: 37.3, 32: 38.8, 64: 39.7, 128: OOM (patch-embed im2col temps hit
-    # 4x ~5.3 GB). The batched front + batched audio amortize better with
-    # more chunks in flight; 64 is the HBM ceiling.
-    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "64"))
+    # 4x ~5.3 GB). B=64 measured best but sits at the HBM edge — it OOM'd
+    # on a repeat run (fragmentation-sensitive), so the default stays at 32
+    # with ~2x headroom; set AVDD_BENCH_E2E_BATCH=64 on a freshly attached
+    # chip for the extra ~0.9 videos/s.
+    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "32"))
     CHUNK = 512
     DUR, FPS = 9.6, 25.0
     N_FRAMES = int(DUR * FPS)                      # 240
