@@ -132,6 +132,30 @@ def setup_jax(cache_dir: str | None = None) -> None:
 
         mvit_attention.ENABLED = True
 
+    # Whole-MultiscaleBlock fused kernel for the MViT stages 3/4
+    # (ops/pallas/mvit_block.py) — default ON for TPU
+    # (AVDD_FUSED_MVIT_BLOCK=0 disables): one VMEM residency per chunk per
+    # block instead of ~15 small XLA fusions (the round-4 bisection's
+    # 11.5 ms/chunk vs ~1.5 ms floor). Two kernel shapes cover all 17
+    # eligible blocks of mvit_v2_b.
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "AVDD_FUSED_MVIT_BLOCK", "1") == "1":
+        from ..ops.pallas import mvit_block
+
+        mvit_block.ENABLED = True
+
+    # Fused Emotion2Vec conv feature extractor
+    # (ops/pallas/conv_extractor.py) — default ON for TPU
+    # (AVDD_FUSED_EMO_CONV=0 disables): the whole 7-layer Conv1d+LN+GELU
+    # stack in one VMEM residency per time tile (the XLA conv path measured
+    # 45.3 ms vs a 13.2 ms HBM floor at the production workload; all
+    # XLA-level rewrites measured negative — round-4 BENCH_NOTES).
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "AVDD_FUSED_EMO_CONV", "1") == "1":
+        from ..ops.pallas import conv_extractor
+
+        conv_extractor.ENABLED = True
+
     # Fused full-MHA kernel for the Emotion2Vec trunk
     # (ops/pallas/full_attention.py) — OPT-IN (AVDD_FUSED_MHA=1): measured
     # SLOWER than XLA at production geometry (12-block trunk 70.2 ms fused
@@ -139,8 +163,10 @@ def setup_jax(cache_dir: str | None = None) -> None:
     # bound by the f32 softmax/exp VPU passes over the (B, H, T, T) scores,
     # which the kernel pays identically; removing the score HBM round-trip
     # bought nothing because XLA's fusion already kept it off the critical
-    # path. Kept for geometries with much longer T where score *capacity*
-    # (not bandwidth) forces XLA to materialize.
+    # path. Note the kernel is non-flash — it holds the full (T, T) f32
+    # score tile in VMEM per head step, so it has its own T ceiling
+    # (~2-3k rows under the scoped-VMEM budget); k-dimension tiling would be
+    # needed before it could serve genuinely long-T geometries.
     if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MHA", "0") == "1":
         from ..ops.pallas import full_attention
 

@@ -424,9 +424,40 @@ class MultiscaleBlock(nn.Module):
     input_thw: Tuple[int, int, int]
     dtype: Any = jnp.float32
 
+    def _fused_geometry_ok(self, thw, n_tokens: int) -> bool:
+        """Whole-block Pallas kernel geometry (ops/pallas/mvit_block.py):
+        the steady-state stage-3/4 shape — stride-1 queries, k/v pooled
+        to a (T, 1, 1) grid (khw==1: spatial rel-pos drops), equal in/out
+        channels, lane-aligned C. Covers 17 of mvit_v2_b's 19 stage-3/4
+        blocks; the stride-q transition blocks stay on XLA."""
+        c = self.cfg
+        k_thw = tuple(-(-g // st) for g, st in zip(thw, c.stride_kv))
+        return (c.input_channels == c.output_channels
+                and tuple(c.stride_q) == (1, 1, 1)
+                and tuple(c.kernel_q) == (3, 3, 3)
+                and tuple(c.kernel_kv) == (3, 3, 3)
+                and c.stride_kv[0] == 1
+                and k_thw[1] == 1 and k_thw[2] == 1
+                and c.output_channels % 128 == 0
+                and c.output_channels % c.num_heads == 0
+                and (c.output_channels // c.num_heads) <= 128
+                and n_tokens == 1 + thw[0] * thw[1] * thw[2])
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+        from ..ops.pallas import mvit_block as _fmb
+
         c = self.cfg
+        if ((_fmb.ENABLED or _fmb.INTERPRET)
+                and not self.is_initializing()
+                and self._fused_geometry_ok(thw, x.shape[1])):
+            packed = _fmb.pack_msblock_params(
+                self.variables["params"], c.output_channels, c.num_heads,
+                thw[0], thw[1] * thw[2], (thw[1], thw[2]), x.dtype)
+            y = _fmb.fused_multiscale_block(
+                x, *packed, t=thw[0], s=thw[1] * thw[2],
+                n_head=c.num_heads, interpret=_fmb.INTERPRET)
+            return y, thw
         x_norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x_attn, thw_new = MultiscaleAttention(
             c, self.input_thw, dtype=self.dtype, name="attn")(x_norm1, thw)
@@ -521,6 +552,27 @@ class MViTVideoEncoder(nn.Module):
         self.blocks = blocks
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
 
+    def embed(self, video: jnp.ndarray) -> jnp.ndarray:
+        """Patch embed + cls token -> (B, 1 + T'*H'*W', C) tokens.
+
+        Exposed separately from ``front_blocks`` so callers can lax.map the
+        patch embed per chunk: its im2col intermediates are ~130 MB/chunk
+        (the B=128 e2e OOM — 4 x ~5.3 GB temps, round-4 batch sweep) and
+        the unfold matmuls saturate the MXU without batching, while the
+        stage-1 blocks DO want the chunk batch (7.50 -> 5.31 ms/chunk at
+        16, round-4 bisection)."""
+        x = self.conv_proj(video)
+        b, t, hs, ws, ch = x.shape
+        x = x.reshape(b, t * hs * ws, ch)
+        return _prepend_token(x, self.class_token)
+
+    def front_blocks(self, x: jnp.ndarray, thw: Tuple[int, int, int],
+                     split: int) -> jnp.ndarray:
+        """blocks[:split] on embedded tokens (grid ``thw`` = patch_grid)."""
+        for blk in self.blocks[:split]:
+            x, thw = blk(x, thw)
+        return x
+
     def encode_front(self, video: jnp.ndarray, split: int) -> jnp.ndarray:
         """Patch embed + cls token + blocks[:split] -> (B, N+1, C) tokens.
 
@@ -529,14 +581,8 @@ class MViTVideoEncoder(nn.Module):
         chunk (or vice versa) — the two regimes measured opposite batch
         scaling on v5e (BENCH_NOTES round 4). Use ``thw_after(patch_grid(
         shape), split)`` for the grid to hand encode_back."""
-        x = self.conv_proj(video)
-        b, t, hs, ws, ch = x.shape
-        thw = (t, hs, ws)
-        x = x.reshape(b, t * hs * ws, ch)
-        x = _prepend_token(x, self.class_token)
-        for blk in self.blocks[:split]:
-            x, thw = blk(x, thw)
-        return x
+        x = self.embed(video)
+        return self.front_blocks(x, self.patch_grid(video.shape), split)
 
     def encode_back(self, x: jnp.ndarray, thw: Tuple[int, int, int],
                     split: int) -> jnp.ndarray:
@@ -556,6 +602,36 @@ class MViTVideoEncoder(nn.Module):
         x = self.encode_front(video, n)
         return self.encode_back(x, self.thw_after(
             self.patch_grid(video.shape), n), n)
+
+
+def hybrid_apply(model: "MViTVideoEncoder", params, chunks: jnp.ndarray,
+                 *, sequential_patch: bool = True,
+                 batched_back: bool = False) -> jnp.ndarray:
+    """The production chunk strategy in one place (FeatureExtractor, the e2e
+    bench and the multichip dryrun all route through this): per-chunk patch
+    embed via lax.map (bounds the ~130 MB/chunk im2col temps — the round-4
+    B=128 OOM — while the unfold matmuls already saturate the MXU at one
+    chunk), batched blocks[:split] (stage 1 improves with chunk batch),
+    then blocks[split:] per chunk via lax.map (the narrow-grid stages
+    degrade batched under XLA). ``batched_back=True`` runs the back stages
+    batched instead — the right choice when the whole-block kernel
+    (ops/pallas/mvit_block.py) is enabled, whose VMEM residency per grid
+    step removes the batched-spill pathology."""
+    split = model.batch_front_split
+    if sequential_patch and chunks.shape[0] > 1:
+        emb = jax.lax.map(
+            lambda v: model.apply(params, v[None], method="embed")[0],
+            chunks)
+    else:
+        emb = model.apply(params, chunks, method="embed")
+    thw0 = model.patch_grid(chunks.shape)
+    front = model.apply(params, emb, thw0, split, method="front_blocks")
+    thw = model.thw_after(thw0, split)
+    if batched_back:
+        return model.apply(params, front, thw, split, method="encode_back")
+    return jax.lax.map(
+        lambda tkn: model.apply(params, tkn[None], thw, split,
+                                method="encode_back")[0], front)
 
 
 def convert_mvit_torch(state_dict, template, prefix: str = ""):

@@ -36,11 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Flipped on by core.runtime.setup_jax on TPU (AVDD_FUSED_MHA=0 disables).
-# frontends/emotion2vec.py consults this at trace time. One kernel shape is
-# shared by every block of a trunk, so the Mosaic compile cost is a single
-# kernel per (B, T, H, d) geometry — unlike the 24-kernel MViT dispatch,
-# cheap enough to default on.
+# OPT-IN: core.runtime.setup_jax flips this on only under AVDD_FUSED_MHA=1.
+# The kernel measured SLOWER than XLA at the production Emotion2Vec geometry
+# (trunk 70.2 ms fused vs 64.8 — the trunk is bound by the f32 softmax VPU
+# passes, which the kernel pays identically; BENCH_NOTES round 4), so the
+# XLA path stays the default. frontends/emotion2vec.py consults this at
+# trace time.
 ENABLED = False
 # Tests set this to route the same dispatch through the pallas interpreter
 # on CPU (kernel semantics without TPU hardware).

@@ -1,8 +1,9 @@
 """Parity: fused full-MHA Pallas kernel (interpret mode) == the XLA path.
 
-The kernel (ops/pallas/full_attention.py) is default-on for TPU runs of the
-Emotion2Vec trunk; these tests pin its semantics on CPU via the pallas
-interpreter — the same dispatch the TPU takes, minus Mosaic codegen.
+The kernel (ops/pallas/full_attention.py) is OPT-IN on TPU (AVDD_FUSED_MHA=1;
+it measured slower than XLA at the production geometry, BENCH_NOTES round 4);
+these tests pin its semantics on CPU via the pallas interpreter — the same
+dispatch a TPU run with the flag takes, minus Mosaic codegen.
 """
 
 import numpy as np

@@ -209,3 +209,27 @@ def test_mvit_hybrid_split_matches_full(rng):
         video_model=model, video_chunk=4)
     got = ex.video_chunks_features(np.asarray(video))
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=0)
+
+
+def test_mvit_hybrid_front_group_tiling(rng, monkeypatch):
+    """Chunk counts above FRONT_CHUNK_GROUP run the front in fixed-size
+    groups (bounded peak memory for arbitrarily long videos) with features
+    identical to the ungrouped batched front."""
+    from audio_visual_deepfake_detection_tpu.frontends import pipeline
+    from audio_visual_deepfake_detection_tpu.frontends.mvit import (
+        MViTVideoEncoder, generate_config)
+    from audio_visual_deepfake_detection_tpu.frontends.pipeline import (
+        FeatureExtractor, FrontendParams)
+
+    cfgs = tuple(generate_config([1, 1], [1, 2], [8, 16], out_dim=24))
+    model = MViTVideoEncoder(cfgs, temporal_size=4, batch_front_split=1)
+    video = jnp.asarray(rng.standard_normal((5, 4, 96, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video[:1])
+    want = model.apply(params, video)
+
+    monkeypatch.setattr(pipeline, "FRONT_CHUNK_GROUP", 2)  # 5 -> 3 groups
+    ex = FeatureExtractor(
+        params=FrontendParams(video=params, byola=None, emotion=None),
+        video_model=model, video_chunk=4)
+    got = ex.video_chunks_features(np.asarray(video))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=0)
