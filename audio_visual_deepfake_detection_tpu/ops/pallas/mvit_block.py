@@ -111,7 +111,8 @@ def _group_ln_mats_np(c: int, nh: int):
 
 
 def _roll_lanes(x: jnp.ndarray, amt: int) -> jnp.ndarray:
-    """Left-rotate lanes by ``amt`` (out[:, i] = in[:, (i + amt) % L])."""
+    """Left-rotate lanes by ``amt`` (out[:, i] = in[:, (i + amt) % L]).
+    Mosaic's rotate only supports 32-bit element types — callers roll f32."""
     ln = x.shape[-1]
     return pltpu.roll(x, (ln - amt) % ln, axis=x.ndim - 1)
 
@@ -171,10 +172,10 @@ def _make_kernel(t: int, s: int, c: int, nh: int, cdtype):
             cls = z[0:1]
             g = z[1:]
             g2 = g.reshape(t, s * c) if s > 1 else g
+            g2f = g2.astype(jnp.float32)
             acc = jnp.zeros((t, s * c), jnp.float32)
             for di, ds_ in enumerate(range(-(s - 1), s)):
-                rolled = _roll_lanes(g2, ds_ * c) if ds_ else g2
-                rf = rolled.astype(jnp.float32)
+                rf = _roll_lanes(g2f, ds_ * c) if ds_ else g2f
                 for ti in range(3):
                     w_vec = taps[ti * n_ds + di][None].astype(jnp.float32)
                     acc = acc + _shift_rows(rf, ti - 1) * w_vec
@@ -226,17 +227,25 @@ def _make_kernel(t: int, s: int, c: int, nh: int, cdtype):
             sc = jax.lax.dot_general(
                 qs, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (N, T) f32
-            # rel-pos band: reversed-table matmul + masked-roll shear
-            g_all = cdot(qh, rt_ref[...])                 # (N, 2T) cdtype
+            # rel-pos band: reversed-table matmul + masked-roll shear. The
+            # shear runs in f32 (Mosaic rotate is 32-bit-only); since a
+            # shear is a pure permutation, rounding commutes with it, so
+            # downcasting AFTER the shear equals the XLA path's
+            # shear-of-downcast-G bit for bit.
+            g_all = jnp.dot(qh, rt_ref[...],
+                            preferred_element_type=jnp.float32)  # (N, 2T)
             for b_ in range(tbits):
                 amt = 1 << b_
                 bit = ((a_amt >> b_) & 1) == 1            # (N, 1)
                 g_all = jnp.where(bit, _roll_lanes(g_all, amt), g_all)
-            band = g_all[:, :t].astype(jnp.float32)
+            band = g_all[:, :t].astype(cdtype).astype(jnp.float32)
             sc = sc + jnp.where(row == 0, 0.0, band)
-            s_cls = jax.lax.dot_general(
-                qs, kch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (N, 1)
+            # cls-key column as a broadcast multiply + lane reduce (a
+            # (N,128)x(1,128) dot_general trips a Mosaic bf16->f32
+            # vector.broadcast verification bug)
+            s_cls = jnp.sum(
+                qs.astype(jnp.float32) * kch.astype(jnp.float32),
+                axis=-1, keepdims=True)                   # (N, 1)
             m = jnp.maximum(jnp.max(sc, axis=-1, keepdims=True), s_cls)
             e = jnp.exp(sc - m).astype(cdtype)
             ec = jnp.exp(s_cls - m).astype(cdtype)
