@@ -438,7 +438,6 @@ class MultiscaleBlock(nn.Module):
                 and tuple(c.kernel_kv) == (3, 3, 3)
                 and c.stride_kv[0] == 1
                 and k_thw[1] == 1 and k_thw[2] == 1
-                and c.output_channels % 128 == 0
                 and c.output_channels % c.num_heads == 0
                 and (c.output_channels // c.num_heads) <= 128
                 and n_tokens == 1 + thw[0] * thw[1] * thw[2])
@@ -451,12 +450,13 @@ class MultiscaleBlock(nn.Module):
         if ((_fmb.ENABLED or _fmb.INTERPRET)
                 and not self.is_initializing()
                 and self._fused_geometry_ok(thw, x.shape[1])):
-            packed = _fmb.pack_msblock_params(
+            arrays, q_plan, kv_plan = _fmb.pack_msblock_params(
                 self.variables["params"], c.output_channels, c.num_heads,
                 thw[0], thw[1] * thw[2], (thw[1], thw[2]), x.dtype)
             y = _fmb.fused_multiscale_block(
-                x, *packed, t=thw[0], s=thw[1] * thw[2],
-                n_head=c.num_heads, interpret=_fmb.INTERPRET)
+                x, *arrays, t=thw[0], s=thw[1] * thw[2],
+                n_head=c.num_heads, q_plan=q_plan, kv_plan=kv_plan,
+                interpret=_fmb.INTERPRET)
             return y, thw
         x_norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x_attn, thw_new = MultiscaleAttention(

@@ -69,8 +69,9 @@ def _row_counts(f: int):
     o3 = 8 * f + 2
     o2 = 16 * f + 6
     o1 = 32 * f + 14
-    o0 = 64 * f + 32          # L0 produces 8 frames per 40-sample row
-    r40 = 8 * f + 4           # wav rows of 40 consumed (incl. halo row)
+    o0 = 64 * f + 64          # L0 produces 8 frames per 40-sample row
+    r40 = 8 * f + 8           # wav rows of 40 consumed (8-row halo: TPU
+    #                           block sublane counts must divide by 8)
     return o0, o1, o2, o3, o4, o5, o6, r40
 
 
@@ -171,14 +172,14 @@ def fused_conv_extractor(wav: jnp.ndarray, params, *, out_len: int,
     wav48 = _prep_wav(wav, n_tiles, f)
 
     o0, o1, o2, o3, o4, o5, o6, r40 = _row_counts(f)
-    main_rows, halo_rows = 8 * f, 4
-    # the halo is a second 4-row-block view of the same array: block index
-    # 2f*(i+1) starts at row 8f*(i+1), the tile's right halo
+    main_rows, halo_rows = 8 * f, 8
+    # the halo is a second 8-row-block view of the same array: block index
+    # f*(i+1) starts at row 8f*(i+1), the tile's right halo
     in_specs = [
         pl.BlockSpec((1, main_rows, 48), lambda bb, i: (bb, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, halo_rows, 48),
-                     lambda bb, i: (bb, 2 * F_TILE * (i + 1), 0),
+                     lambda bb, i: (bb, F_TILE * (i + 1), 0),
                      memory_space=pltpu.VMEM),
     ]
 

@@ -67,6 +67,8 @@ def _run_both(block, params, x, thw, monkeypatch):
     dict(t=8, hs=1, ws=1, c=256, nh=2, stride_kv=(1, 1, 1)),
     dict(t=5, hs=2, ws=2, c=128, nh=2),            # non-power-of-2 T
     dict(t=8, hs=2, ws=2, c=128, nh=2, cfg_t=16),  # bucketed tail: table > T
+    dict(t=4, hs=4, ws=4, c=192, nh=2),            # stage-2: 4x4 grid,
+                                                   # lane-padded C=192
 ])
 def test_fused_block_matches_xla(rng, monkeypatch, case):
     block, params, x, thw = _block_case(rng, **case)
@@ -103,11 +105,16 @@ def test_fused_block_dispatch_excludes_transitions(monkeypatch):
         kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
         stride_q=(1, 1, 1), stride_kv=(1, 2, 2)), (8, 2, 2))
     assert not proj._fused_geometry_ok((8, 2, 2), 33)
-    unaligned = MultiscaleBlock(MSBlockConfig(
+    wide_head = MultiscaleBlock(MSBlockConfig(
+        num_heads=2, input_channels=384, output_channels=384,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 1, 1), stride_kv=(1, 2, 2)), (8, 2, 2))
+    assert not wide_head._fused_geometry_ok((8, 2, 2), 33)  # d=192 > 128
+    padded_c = MultiscaleBlock(MSBlockConfig(
         num_heads=2, input_channels=192, output_channels=192,
         kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
         stride_q=(1, 1, 1), stride_kv=(1, 2, 2)), (8, 2, 2))
-    assert not unaligned._fused_geometry_ok((8, 2, 2), 33)
+    assert padded_c._fused_geometry_ok((8, 2, 2), 33)  # lane-padded C ok
     ok = MultiscaleBlock(MSBlockConfig(
         num_heads=2, input_channels=128, output_channels=128,
         kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
