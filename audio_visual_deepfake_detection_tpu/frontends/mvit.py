@@ -430,9 +430,12 @@ class MultiscaleBlock(nn.Module):
         to a (T, 1, 1) grid (khw==1: spatial rel-pos drops), equal in/out
         channels, lane-aligned C. Covers 17 of mvit_v2_b's 19 stage-3/4
         blocks; the stride-q transition blocks stay on XLA."""
+        from ..ops.pallas import mvit_block as _fmb
+
         c = self.cfg
         k_thw = tuple(-(-g // st) for g, st in zip(thw, c.stride_kv))
-        return (c.input_channels == c.output_channels
+        return (thw[1] * thw[2] <= _fmb.MAX_SPATIAL
+                and c.input_channels == c.output_channels
                 and tuple(c.stride_q) == (1, 1, 1)
                 and tuple(c.kernel_q) == (3, 3, 3)
                 and tuple(c.kernel_kv) == (3, 3, 3)
@@ -605,8 +608,9 @@ class MViTVideoEncoder(nn.Module):
 
 
 def hybrid_apply(model: "MViTVideoEncoder", params, chunks: jnp.ndarray,
-                 *, sequential_patch: bool = True,
-                 batched_back: bool = False) -> jnp.ndarray:
+                 *, sequential_patch: bool = False,
+                 batched_back: bool = False,
+                 front_group: int = 0) -> jnp.ndarray:
     """The production chunk strategy in one place (FeatureExtractor, the e2e
     bench and the multichip dryrun all route through this): per-chunk patch
     embed via lax.map (bounds the ~130 MB/chunk im2col temps — the round-4
@@ -616,17 +620,34 @@ def hybrid_apply(model: "MViTVideoEncoder", params, chunks: jnp.ndarray,
     degrade batched under XLA). ``batched_back=True`` runs the back stages
     batched instead — the right choice when the whole-block kernel
     (ops/pallas/mvit_block.py) is enabled, whose VMEM residency per grid
-    step removes the batched-spill pathology."""
+    step removes the batched-spill pathology. ``front_group`` > 0 tiles the
+    patch-embed + front blocks in fixed-size chunk groups via lax.map
+    (zero-padding the tail group), bounding peak memory for arbitrarily
+    long videos; measured knobs (v5e, 16 chunks): batched patch embed beats
+    sequential by ~1 ms/chunk, so sequential_patch stays off and the OOM
+    protection comes from grouping instead."""
     split = model.batch_front_split
-    if sequential_patch and chunks.shape[0] > 1:
-        emb = jax.lax.map(
-            lambda v: model.apply(params, v[None], method="embed")[0],
-            chunks)
-    else:
-        emb = model.apply(params, chunks, method="embed")
     thw0 = model.patch_grid(chunks.shape)
-    front = model.apply(params, emb, thw0, split, method="front_blocks")
     thw = model.thw_after(thw0, split)
+
+    def run_front(x):
+        if sequential_patch and x.shape[0] > 1:
+            emb = jax.lax.map(
+                lambda v: model.apply(params, v[None], method="embed")[0], x)
+        else:
+            emb = model.apply(params, x, method="embed")
+        return model.apply(params, emb, thw0, split, method="front_blocks")
+
+    n = chunks.shape[0]
+    if front_group and n > front_group:
+        g = front_group
+        pad = (-n) % g
+        xp = jnp.pad(chunks, ((0, pad),) + ((0, 0),) * (chunks.ndim - 1))
+        grouped = xp.reshape((xp.shape[0] // g, g) + xp.shape[1:])
+        front = jax.lax.map(run_front, grouped)
+        front = front.reshape((-1,) + front.shape[2:])[:n]
+    else:
+        front = run_front(chunks)
     if batched_back:
         return model.apply(params, front, thw, split, method="encode_back")
     return jax.lax.map(

@@ -34,12 +34,13 @@ class FrontendParams:
 
 
 # Hybrid-strategy front batching is tiled in groups of this many chunks:
-# batching the wide-grid early stages across chunks is where the win is
-# (saturates by ~16 chunks, round-4 bisection), but an UNBOUNDED batch lets a
-# long video (45+ min => >100 chunks) blow the patch-embed im2col temps
-# (measured OOM at 128 chunks in flight). Groups keep peak device memory
-# independent of video length.
-FRONT_CHUNK_GROUP = 16
+# batching the patch embed + wide-grid early stages across chunks is where
+# the win is (saturates by ~16-32 chunks, round-4/5 measurements), but an
+# UNBOUNDED batch lets a long video (45+ min => >100 chunks) blow the
+# patch-embed im2col temps (measured OOM at 128 chunks in flight; 64 sits
+# 64 MB over the 16 GB chip). Groups keep peak device memory independent
+# of video length.
+FRONT_CHUNK_GROUP = 32
 
 # stream key -> cache subdirectory, the on-disk layout the dataset configs
 # point at (align_video/content_audio/emotion_audio, matching the
@@ -104,20 +105,8 @@ class FeatureExtractor:
                 from .mvit import hybrid_apply
 
                 def _hybrid(p, x):
-                    n = x.shape[0]
-                    g = FRONT_CHUNK_GROUP
-                    if n <= g:
-                        return hybrid_apply(m, p, x)
-                    # tile in fixed-size chunk groups so peak memory is
-                    # bounded regardless of chunk count (the zero-pad tail
-                    # group costs at most g-1 wasted passes, negligible for
-                    # the >g-chunk videos that reach this branch)
-                    pad = (-n) % g
-                    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-                    grouped = xp.reshape((xp.shape[0] // g, g) + xp.shape[1:])
-                    out = jax.lax.map(
-                        lambda grp: hybrid_apply(m, p, grp), grouped)
-                    return out.reshape((-1,) + out.shape[2:])[:n]
+                    return hybrid_apply(m, p, x,
+                                        front_group=FRONT_CHUNK_GROUP)
 
                 self._video_fn = jax.jit(_hybrid)
             else:

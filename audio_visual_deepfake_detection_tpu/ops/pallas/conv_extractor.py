@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .band_attention import _shift_rows
 from .fused_block import _gelu
 
 # Flipped on by core.runtime.setup_jax on TPU (AVDD_FUSED_EMO_CONV=0
@@ -54,8 +55,12 @@ ENABLED = False
 # Tests route the dispatch through the pallas interpreter on CPU.
 INTERPRET = False
 
+import os
+
 LN_EPS = 1e-5
-F_TILE = 64          # final output frames per grid step
+# final output frames per grid step; read once at import for benches
+# (participates in jit-cached programs — restart to flip)
+F_TILE = int(os.environ.get("AVDD_EMO_F_TILE", "64"))
 CH = 512
 
 
@@ -94,9 +99,18 @@ def _kernel(wmain_ref, whalo_ref, wb0_ref, w1_ref, w2_ref, w3_ref, w4_ref,
         return _gelu(z, cdtype).astype(cdtype)
 
     def down3(x, w_ref, li, o_out):
+        # taps 0/1 are the lane halves of the pair view; tap 2 is a one-row
+        # shift of the even half. Two matmuls instead of a concat+matmul:
+        # Mosaic cannot concatenate a row-offset slice ("offset mismatch on
+        # non-concat dimension"), and _shift_rows re-zeros the offset.
         x2 = x[:2 * o_out + 2].reshape(o_out + 1, 2 * CH)
-        cat = jnp.concatenate([x2[:o_out], x2[1:, :CH]], axis=1)
-        return ln_gelu(cdot(cat, w_ref[...]), li)
+        a = x2[:o_out]                                   # (O, 1024)
+        b = _shift_rows(x2[:, :CH], 1)[:o_out]           # (O, 512) tap 2
+        w = w_ref[...]
+        y = (jnp.dot(a, w[:2 * CH], preferred_element_type=jnp.float32)
+             + jnp.dot(b, w[2 * CH:], preferred_element_type=jnp.float32)
+             ).astype(cdtype)
+        return ln_gelu(y, li)
 
     def down2(x, w_ref, li, o_out):
         x2 = x[:2 * o_out].reshape(o_out, 2 * CH)
@@ -179,7 +193,7 @@ def fused_conv_extractor(wav: jnp.ndarray, params, *, out_len: int,
         pl.BlockSpec((1, main_rows, 48), lambda bb, i: (bb, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, halo_rows, 48),
-                     lambda bb, i: (bb, F_TILE * (i + 1), 0),
+                     lambda bb, i, f=f: (bb, f * (i + 1), 0),
                      memory_space=pltpu.VMEM),
     ]
 

@@ -80,6 +80,12 @@ ENABLED = False
 # Tests set this to route the same dispatch through the pallas interpreter
 # on CPU (kernel semantics without TPU hardware).
 INTERPRET = False
+# Largest spatial token count (hs*ws) the dispatch accepts. Stage 3/4
+# (s in {1, 4}) are the measured win; stage 2 (s=16, N=8193 rows) drove the
+# remote Mosaic compile past an hour on the tunneled v5e, so it is gated
+# OUT by default — set 16 to include it (tests exercise it in interpreter
+# mode either way).
+MAX_SPATIAL = 4
 
 LN_EPS = 1e-6
 

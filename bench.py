@@ -163,8 +163,9 @@ def measure_e2e() -> float:
 
     # strategy knobs for A/B runs on the chip; defaults = the shipped
     # FeatureExtractor configuration (frontends/mvit.py::hybrid_apply)
-    seq_patch = os.environ.get("AVDD_BENCH_SEQ_PATCH", "1") == "1"
+    seq_patch = os.environ.get("AVDD_BENCH_SEQ_PATCH", "0") == "1"
     batched_back = os.environ.get("AVDD_BENCH_BATCHED_BACK", "0") == "1"
+    front_group = int(os.environ.get("AVDD_BENCH_FRONT_GROUP", "0"))
 
     @jax.jit
     def e2e(lp, fp, frames_u8, wav):
@@ -175,7 +176,8 @@ def measure_e2e() -> float:
         x = frames_u8.astype(jnp.float32) / 255.0
         v = mvit.hybrid_apply(video_model, fp["video"], x,
                               sequential_patch=seq_patch,
-                              batched_back=batched_back)
+                              batched_back=batched_back,
+                              front_group=front_group)
         v = v[:, :N_FRAMES]
         lms = jnp.swapaxes(byola_log_mel(wav), -1, -2)
         by = byola_model.apply(fp["byola"], lms)[:, :BYOLA_ROWS]
