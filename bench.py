@@ -122,13 +122,12 @@ def measure_e2e() -> float:
         linear_resample_time)
     from audio_visual_deepfake_detection_tpu.train.state import init_model
 
-    # Round-4 sweep with the hybrid encoder strategy (videos/s): 8: 33.7,
-    # 16: 37.3, 32: 38.8, 64: 39.7, 128: OOM (patch-embed im2col temps hit
-    # 4x ~5.3 GB). B=64 measured best but sits at the HBM edge — it OOM'd
-    # on a repeat run (fragmentation-sensitive), so the default stays at 32
-    # with ~2x headroom; set AVDD_BENCH_E2E_BATCH=64 on a freshly attached
-    # chip for the extra ~0.9 videos/s.
-    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "32"))
+    # Round-5 sweep with the whole-MultiscaleBlock kernel + hybrid strategy
+    # (videos/s): B=32: 50.4 | 48: 51.1 | 64 + front_group=32: 51.8 (the
+    # default) | 64 ungrouped: OOM by 64 MB | 128: OOM. The 32-chunk front
+    # groups bound the patch-embed im2col temps (the round-4 OOM) while
+    # keeping the audio/localizer batch at 64.
+    B = int(os.environ.get("AVDD_BENCH_E2E_BATCH", "64"))
     CHUNK = 512
     DUR, FPS = 9.6, 25.0
     N_FRAMES = int(DUR * FPS)                      # 240
@@ -165,7 +164,7 @@ def measure_e2e() -> float:
     # FeatureExtractor configuration (frontends/mvit.py::hybrid_apply)
     seq_patch = os.environ.get("AVDD_BENCH_SEQ_PATCH", "0") == "1"
     batched_back = os.environ.get("AVDD_BENCH_BATCHED_BACK", "0") == "1"
-    front_group = int(os.environ.get("AVDD_BENCH_FRONT_GROUP", "0"))
+    front_group = int(os.environ.get("AVDD_BENCH_FRONT_GROUP", "32"))
 
     @jax.jit
     def e2e(lp, fp, frames_u8, wav):
