@@ -135,9 +135,10 @@ def setup_jax(cache_dir: str | None = None) -> None:
     # Whole-MultiscaleBlock fused kernel for the MViT stages 3/4
     # (ops/pallas/mvit_block.py) — default ON for TPU
     # (AVDD_FUSED_MVIT_BLOCK=0 disables): one VMEM residency per chunk per
-    # block instead of ~15 small XLA fusions (the round-4 bisection's
-    # 11.5 ms/chunk vs ~1.5 ms floor). Two kernel shapes cover all 17
-    # eligible blocks of mvit_v2_b.
+    # block instead of ~15 small XLA fusions. Measured round 5 (mvit_v2_b,
+    # bf16, v5e): full forward 23.3 -> 16.3 ms/chunk (hybrid, 16 chunks);
+    # driver e2e 38.8 -> 51.8 videos/s. Two kernel shapes cover all 17
+    # eligible stage-3/4 blocks; stage 2 is gated off (MAX_SPATIAL).
     if jax.default_backend() == "tpu" and os.environ.get(
             "AVDD_FUSED_MVIT_BLOCK", "1") == "1":
         from ..ops.pallas import mvit_block
@@ -147,9 +148,10 @@ def setup_jax(cache_dir: str | None = None) -> None:
     # Fused Emotion2Vec conv feature extractor
     # (ops/pallas/conv_extractor.py) — default ON for TPU
     # (AVDD_FUSED_EMO_CONV=0 disables): the whole 7-layer Conv1d+LN+GELU
-    # stack in one VMEM residency per time tile (the XLA conv path measured
-    # 45.3 ms vs a 13.2 ms HBM floor at the production workload; all
-    # XLA-level rewrites measured negative — round-4 BENCH_NOTES).
+    # stack in one VMEM residency per time tile. Measured round 5 at the
+    # production workload (48 x 10 s wav, bf16): extractor 45.2 -> 33.3 ms,
+    # full Emotion2Vec 115.9 -> 105.5 ms (all XLA-level rewrites had
+    # measured negative — round-4 BENCH_NOTES).
     if jax.default_backend() == "tpu" and os.environ.get(
             "AVDD_FUSED_EMO_CONV", "1") == "1":
         from ..ops.pallas import conv_extractor

@@ -16,6 +16,11 @@ localizer -> soft-NMS -> challenge mAP).
 Run from the repo root, on the TPU, with the chip otherwise idle.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from audio_visual_deepfake_detection_tpu.core.runtime import setup_jax
 setup_jax()
 
