@@ -79,9 +79,13 @@ class FeatureExtractor:
         # encoder for 512. With buckets, the tail runs at the smallest
         # bucket >= its length. C3D features are BIT-IDENTICAL either way
         # (temporal convs are local and 'same'-padded with the same zeros);
-        # MViT features differ slightly from the padded-512 quirk (its
-        # attention normalizes over however many pad tokens are present), so
-        # bucketing is off by default for reference parity.
+        # MViT features differ from the padded-512 quirk (its attention
+        # normalizes over however many pad tokens are present). Measured
+        # cost (BENCH_NOTES round 5, tools/bucket_ap.py): -2.8 avg mAP
+        # through a parity-trained localizer AND 7-10 avg mAP below parity
+        # even when the localizer is TRAINED on bucketed features (2 seeds,
+        # overfit-bar proxy) — so bucketing stays off by default; use it
+        # only when throughput is worth a measured quality cost.
         self.chunk_buckets = tuple(sorted(chunk_buckets)) if chunk_buckets \
             else None
         self._seed = seed
