@@ -221,9 +221,10 @@ def measure_raw_media():
     """Secondary metric: the 12 tinydataset mp4s through the production
     MediaPipeline — native libav* decode -> MViT-v2-b bf16 + BYOL-A +
     Emotion2Vec -> truncation/resample -> localizer + soft-NMS ->
-    submission files. On this 1-core host the chain is DECODE-bound
-    (~11 videos/s/core, round-4 decode table), so this number tracks the
-    host-side path: a decode or pipeline regression moves it while the
+    submission files. On this 1-core host the chain is host-decode- and
+    tunnel-transfer-bound (decode alone runs ~11 videos/s/core, round-4
+    table; the ~20 MB/s tunnel adds per-video frame-upload time real
+    hardware infeed would not), so this number tracks the host-side path: a decode or pipeline regression moves it while the
     device-resident headline metric would hide it. Returns None when the
     tinydataset media is absent."""
     import tempfile
@@ -350,7 +351,7 @@ def main():
             if raw_media else None,
             "raw_media_note": "12 tinydataset mp4s, native decode ->"
                               " frontends -> localizer -> submission;"
-                              " DECODE-bound on this 1-core host",
+                              " decode/transfer-bound on this 1-core tunneled host",
             "note": "e2e = device-resident uint8 frames + wav -> MViT-v2-b"
                     " bf16 + BYOL-A + Emotion2Vec -> resample(768) ->"
                     " localizer + soft-NMS; vs_baseline is vs the reference's"
