@@ -145,6 +145,16 @@ def setup_jax(cache_dir: str | None = None) -> None:
 
         mvit_block.ENABLED = True
 
+    # Fused MViT patch-embed kernel (ops/pallas/patch_embed.py) — default
+    # ON for TPU (AVDD_FUSED_PATCH=0 disables): the stride-12 unfolds
+    # become VMEM-resident matmuls, removing the ~2.45 GB of HBM unfold
+    # temps the XLA path pays per 512-frame chunk (round-5 bisection).
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "AVDD_FUSED_PATCH", "1") == "1":
+        from ..ops.pallas import patch_embed
+
+        patch_embed.ENABLED = True
+
     # Fused Emotion2Vec conv feature extractor
     # (ops/pallas/conv_extractor.py) — default ON for TPU
     # (AVDD_FUSED_EMO_CONV=0 disables): the whole 7-layer Conv1d+LN+GELU
