@@ -119,15 +119,14 @@ def setup_jax(cache_dir: str | None = None) -> None:
             fused_block.TRAIN_ENABLED = True
 
     # Fused MViT pooled-attention core (ops/pallas/mvit_attention.py) —
-    # OPT-IN (AVDD_FUSED_MVIT=1): scores + rel-pos band + softmax + P@V +
-    # residual in one VMEM residency per q-tile. Measured a WASH at
-    # production geometry (mvit_v2_b T=512 bf16 full forward 23.60 ms fused
-    # vs 23.45 XLA; per-block s1 1.83->1.70, s3 0.98->1.01, s4 0.70->0.64 —
-    # BENCH_NOTES round 4): block time is spread across pools/layout
-    # small-ops, not the score matrices, and the 24 Mosaic kernel compiles
-    # add ~10+ min of cold-start. Kept for geometries where the score
-    # matrices dominate (longer chunks / larger spatial grids).
-    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MVIT", "0") == "1":
+    # default ON (AVDD_FUSED_MVIT=0 disables): scores + rel-pos band +
+    # softmax + P@V + residual in one VMEM residency per q-tile. Round 4
+    # measured it a WASH when it covered every stage (24 kernel shapes,
+    # ~10 min cold compile); with the whole-block kernel
+    # (ops/pallas/mvit_block.py) owning stages 3/4, this one now applies
+    # only to the wide-grid stages 1/2 where it WINS: hybrid 16-chunk
+    # forward 16.25 -> 15.48 ms/chunk (round 5), at 2 kernel shapes.
+    if jax.default_backend() == "tpu" and os.environ.get("AVDD_FUSED_MVIT", "1") == "1":
         from ..ops.pallas import mvit_attention
 
         mvit_attention.ENABLED = True
